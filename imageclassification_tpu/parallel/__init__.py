@@ -1,0 +1,14 @@
+from .dist import (
+    init_distributed_mode,
+    get_rank,
+    get_world_size,
+    is_main_process,
+    setup_for_distributed,
+)
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_sharding_rules,
+    shard_params,
+)
