@@ -1,0 +1,126 @@
+"""ConvNeXt family (NHWC, flax.linen).
+
+Block math follows the reference backbone exactly (object_detection/mmdet/models/
+backbones/convnext.py:30-54): 7×7 depthwise conv → LayerNorm → Linear 4× expand
+→ GELU → Linear → layer-scale gamma → DropPath residual; stem is a 4×4 stride-4
+conv + LN (convnext.py:77-81), downsample layers are LN + 2×2 stride-2 conv
+(convnext.py:82-87). In NHWC the reference's permute-to-channels-last dance
+inside the block disappears — pointwise Linears act on the trailing dim natively,
+which is exactly the MXU-friendly layout.
+
+Also exposes multi-scale features (`features_only`) with per-stage norms
+(reference `out_indices`/norm{0-3}, convnext.py:100-108) as the extension point
+for the detection/segmentation configs (SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import DropPath, drop_path_rates, truncated_normal_init
+
+Dtype = Any
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    drop_path: float = 0.0
+    layer_scale_init: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        # depthwise 7x7 (feature_group_count = channels)
+        x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    dtype=self.dtype, kernel_init=truncated_normal_init())(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype,
+                     kernel_init=truncated_normal_init())(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype,
+                     kernel_init=truncated_normal_init())(x)
+        if self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+            )
+            x = x * gamma.astype(x.dtype)
+        x = DropPath(self.drop_path)(x, deterministic=not train)
+        return shortcut + x
+
+
+class ConvNeXt(nn.Module):
+    depths: Sequence[int] = (3, 3, 9, 3)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    num_classes: int = 1000
+    drop_path_rate: float = 0.0
+    layer_scale_init: float = 1e-6
+    head_init_scale: float = 1.0
+    features_only: bool = False
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        rates = drop_path_rates(self.drop_path_rate, self.depths)
+        features = []
+        for i in range(len(self.depths)):
+            if i == 0:
+                x = nn.Conv(self.dims[0], (4, 4), (4, 4), dtype=self.dtype,
+                            kernel_init=truncated_normal_init(),
+                            name="stem_conv")(x)
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+            else:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"downsample_norm{i}")(x)
+                x = nn.Conv(self.dims[i], (2, 2), (2, 2), dtype=self.dtype,
+                            kernel_init=truncated_normal_init(),
+                            name=f"downsample_conv{i}")(x)
+            for j in range(self.depths[i]):
+                x = ConvNeXtBlock(self.dims[i], drop_path=rates[i][j],
+                                  layer_scale_init=self.layer_scale_init,
+                                  dtype=self.dtype,
+                                  name=f"stage{i}_block{j}")(x, train=train)
+            if self.features_only and i in self.out_indices:
+                # per-stage output norm for FPN consumers (reference
+                # convnext.py:100-108 registers norm{0..3})
+                features.append(
+                    nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{i}")(x)
+                )
+        if self.features_only:
+            return features
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
+        x = nn.Dense(
+            self.num_classes,
+            dtype=jnp.float32,
+            kernel_init=truncated_normal_init(0.02 * self.head_init_scale),
+            name="head",
+        )(x)
+        return x
+
+
+def _make(depths, dims):
+    def ctor(num_classes=1000, drop_path_rate=0.0, dtype=jnp.float32,
+             features_only=False, **kw):
+        return ConvNeXt(depths=depths, dims=dims, num_classes=num_classes,
+                        drop_path_rate=drop_path_rate, dtype=dtype,
+                        features_only=features_only)
+    return ctor
+
+
+convnext_atto = _make((2, 2, 6, 2), (40, 80, 160, 320))
+convnext_femto = _make((2, 2, 6, 2), (48, 96, 192, 384))
+convnext_pico = _make((2, 2, 6, 2), (64, 128, 256, 512))
+convnext_nano = _make((2, 2, 8, 2), (80, 160, 320, 640))
+convnext_tiny = _make((3, 3, 9, 3), (96, 192, 384, 768))
+convnext_small = _make((3, 3, 27, 3), (96, 192, 384, 768))
+convnext_base = _make((3, 3, 27, 3), (128, 256, 512, 1024))
+convnext_large = _make((3, 3, 27, 3), (192, 384, 768, 1536))
+convnext_xlarge = _make((3, 3, 27, 3), (256, 512, 1024, 2048))

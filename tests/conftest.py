@@ -3,7 +3,9 @@ is exercised without TPU hardware (SURVEY §4 point 3). Must run before jax impo
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the host env presets JAX_PLATFORMS=axon (the tunneled TPU);
+# unit tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

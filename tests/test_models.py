@@ -1,0 +1,108 @@
+"""Model zoo tests: init + forward shapes, train/eval modes, param counts sane."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imageclassification_tpu.models import create_model, list_models, model_kwargs_for
+from imageclassification_tpu.config import TrainConfig
+
+
+def _init_and_forward(model, x, train=False):
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    variables = model.init(rngs, x, train=False)
+    if train:
+        out, mutated = model.apply(
+            variables, x, train=True,
+            rngs={"dropout": jax.random.key(2)},
+            mutable=["batch_stats"] if "batch_stats" in variables else [],
+        )
+        return out, variables
+    out = model.apply(variables, x, train=False)
+    return out, variables
+
+
+@pytest.mark.parametrize(
+    "name,size",
+    [
+        ("resnet18", 64),
+        ("convnext_atto", 64),
+        ("vit_tiny_patch16", 32),
+        ("efficientvit_m0", 64),
+    ],
+)
+def test_forward_shapes(name, size):
+    model = create_model(name, num_classes=5, img_size=size) if name.startswith(
+        "efficientvit"
+    ) else create_model(name, num_classes=5)
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    out, _ = _init_and_forward(model, x)
+    assert out.shape == (2, 5)
+    assert out.dtype == jnp.float32
+
+
+def test_train_mode_runs_with_batchstats():
+    model = create_model("resnet18", num_classes=3)
+    x = jnp.ones((2, 32, 32, 3))
+    out, variables = _init_and_forward(model, x, train=True)
+    assert "batch_stats" in variables
+
+
+def _param_count(model, shape):
+    v = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros(shape), train=False)
+    )
+    return sum(p.size for p in jax.tree.leaves(v["params"]))
+
+
+def test_param_count_resnet50():
+    model = create_model("resnet50", num_classes=1000)
+    n = _param_count(model, (1, 64, 64, 3))
+    # torchvision resnet50 has 25.557M params
+    assert abs(n - 25_557_032) / 25_557_032 < 0.01
+
+
+def test_param_count_convnext_tiny():
+    model = create_model("convnext_tiny", num_classes=1000)
+    n = _param_count(model, (1, 32, 32, 3))
+    # ConvNeXt-T is 28.6M params
+    assert abs(n - 28_589_128) / 28_589_128 < 0.02
+
+
+def test_efficientvit_m0_param_count():
+    model = create_model("efficientvit_m0", num_classes=1000)
+    n = _param_count(model, (1, 224, 224, 3))
+    # MSRA EfficientViT-M0 is ~2.3M params
+    assert 1.8e6 < n < 3.2e6, f"param count {n}"
+
+
+def test_kwarg_routing():
+    cfg = TrainConfig(model="efficientvit_m0", drop_path=0.1)
+    kw = model_kwargs_for(cfg, 7)
+    assert kw["drop_rate"] == 0.1 and "drop_path_rate" not in kw
+    cfg = TrainConfig(model="convnext_tiny", drop_path=0.2)
+    kw = model_kwargs_for(cfg, 7)
+    assert kw["drop_path_rate"] == 0.2 and "drop_rate" not in kw
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError):
+        create_model("resnet9000")
+
+
+def test_convnext_features_only():
+    model = create_model("convnext_atto", num_classes=0, features_only=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    feats = jax.eval_shape(
+        lambda: model.init_with_output(jax.random.key(0), x, train=False)
+    )[0]
+    assert len(feats) == 4
+    assert feats[0].shape == (1, 16, 16, 40)
+    assert feats[3].shape == (1, 2, 2, 320)
+
+
+def test_registry_has_reference_families():
+    models = list_models()
+    assert "efficientvit_m0" in models  # reference default (train.py:41)
+    assert "convnext_tiny" in models and "resnet50" in models
+    assert "vit_base_patch16" in models
