@@ -1,0 +1,149 @@
+"""On-device train/eval pixel pipeline assembly (reference C4: the timm
+create_transform stack built at datasets.py:121-144, re-homed onto the TPU).
+
+Order matches timm's train transform: [host RRC geometry] → hflip(0.5) →
+vflip(0.5, reference passes vflip=0.5) → {RandAugment if --aa else ColorJitter}
+→ normalize(ImageNet mean/std) → RandomErasing(reprob/remode/recount).
+Eval: normalize only (host already squash-resized — datasets.py:139-144 has no
+center crop).
+
+The whole thing is one pure function of (uint8 batch, rng) that the train step
+jits — zero host round trips per batch (the reference pays a Python/PIL pass
+per sample in DataLoader workers).
+
+Deviation noted for parity review: torchvision ColorJitter shuffles the order
+of brightness/contrast/saturation per call; we apply in fixed order (the three
+ops commute to first order — see blend() linearity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import image as I
+from .randaugment import RandAugmentConfig, parse_policy, rand_augment_batch
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+def normalize(images_01):
+    """(x - mean) / std on [0,1]-scaled float images."""
+    return (images_01 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def random_flips(images, rng, hflip_prob=0.5, vflip_prob=0.5):
+    B = images.shape[0]
+    kh, kv = jax.random.split(rng)
+    do_h = jax.random.bernoulli(kh, hflip_prob, (B, 1, 1, 1))
+    do_v = jax.random.bernoulli(kv, vflip_prob, (B, 1, 1, 1))
+    images = jnp.where(do_h, images[:, :, ::-1, :], images)
+    images = jnp.where(do_v, images[:, ::-1, :, :], images)
+    return images
+
+
+def color_jitter_batch(images, rng, strength: float):
+    """torchvision ColorJitter(brightness=s, contrast=s, saturation=s):
+    independent uniform factors in [max(0, 1-s), 1+s] per sample."""
+    B = images.shape[0]
+    kb, kc, ks = jax.random.split(rng, 3)
+    lo = max(0.0, 1.0 - strength)
+    hi = 1.0 + strength
+    fb = jax.random.uniform(kb, (B,), minval=lo, maxval=hi)
+    fc = jax.random.uniform(kc, (B,), minval=lo, maxval=hi)
+    fs = jax.random.uniform(ks, (B,), minval=lo, maxval=hi)
+    images = jax.vmap(I.adjust_brightness)(images, fb)
+    images = jax.vmap(I.adjust_contrast)(images, fc)
+    images = jax.vmap(I.adjust_saturation)(images, fs)
+    return images
+
+
+def random_erasing(images, rng, prob=0.25, mode="pixel", count=1,
+                   area_range=(0.02, 1 / 3), aspect_range=(0.3, 10 / 3)):
+    """timm RandomErasing on NORMALIZED images: per sample, with `prob`, erase
+    `count` rectangles with per-pixel N(0,1) noise ('pixel' mode), a constant 0
+    ('const'), or per-sample N(0,1) per channel ('rand')."""
+    B, H, W, C = images.shape
+    log_aspect = (jnp.log(aspect_range[0]), jnp.log(aspect_range[1]))
+
+    def erase_one(img, key):
+        k_on, key = jax.random.split(key)
+        enabled = jax.random.bernoulli(k_on, prob)
+
+        def body(i, im):
+            k = jax.random.fold_in(key, i)
+            ka, kr, ky, kx, kn = jax.random.split(k, 5)
+            area = H * W
+            target = area * jax.random.uniform(
+                ka, minval=area_range[0], maxval=area_range[1]
+            ) / count
+            aspect = jnp.exp(
+                jax.random.uniform(kr, minval=log_aspect[0], maxval=log_aspect[1])
+            )
+            h = jnp.sqrt(target * aspect).astype(jnp.int32)
+            w = jnp.sqrt(target / aspect).astype(jnp.int32)
+            fits = (h < H) & (w < W)
+            h = jnp.clip(h, 1, H - 1)
+            w = jnp.clip(w, 1, W - 1)
+            top = jax.random.randint(ky, (), 0, H)
+            left = jax.random.randint(kx, (), 0, W)
+            top = jnp.minimum(top, H - h)
+            left = jnp.minimum(left, W - w)
+            ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+            mask = ((ys >= top) & (ys < top + h) & (xs >= left) & (xs < left + w))
+            mask = (mask & fits & enabled)[..., None]
+            if mode == "pixel":
+                fill = jax.random.normal(kn, (H, W, C))
+            elif mode == "rand":
+                fill = jnp.broadcast_to(jax.random.normal(kn, (1, 1, C)), (H, W, C))
+            else:  # 'const'
+                fill = jnp.zeros((H, W, C))
+            return jnp.where(mask, fill, im)
+
+        for i in range(count):
+            img = body(i, img)
+        return img
+
+    keys = jax.random.split(rng, B)
+    return jax.vmap(erase_one)(images, keys)
+
+
+class AugmentPipeline:
+    """Compiled-in train-time pixel pipeline; configured once from args."""
+
+    def __init__(self, args):
+        self.color_jitter = args.color_jitter
+        self.aa: Optional[RandAugmentConfig] = None
+        self.aa_name = args.aa
+        if args.aa and args.aa.startswith("rand"):
+            self.aa = parse_policy(args.aa)
+        elif args.aa:
+            # 'v0'/'original' AutoAugment policy tables: routed through the
+            # same op set; fall back to RandAugment-equivalent strength.
+            self.aa = RandAugmentConfig(magnitude=9.0, mstd=0.5, increasing=False)
+        self.reprob = args.reprob
+        self.remode = args.remode
+        self.recount = args.recount
+
+    def __call__(self, images_u8, rng):
+        """uint8 [B,H,W,3] → normalized float32 [B,H,W,3]."""
+        k_flip, k_aa, k_erase = jax.random.split(rng, 3)
+        x = images_u8.astype(jnp.float32)
+        x = random_flips(x, k_flip, 0.5, 0.5)
+        if self.aa is not None:
+            x = rand_augment_batch(x, k_aa, self.aa)
+        elif self.color_jitter and self.color_jitter > 0:
+            x = color_jitter_batch(x, k_aa, self.color_jitter)
+        x = normalize(x / 255.0)
+        if self.reprob and self.reprob > 0:
+            x = random_erasing(x, k_erase, self.reprob, self.remode, self.recount)
+        return x
+
+
+def eval_preprocess(images_u8):
+    """Eval pixel path: normalize only (host did the squash resize)."""
+    return normalize(images_u8.astype(jnp.float32) / 255.0)

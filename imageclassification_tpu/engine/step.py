@@ -1,0 +1,254 @@
+"""The fused jit train/eval steps (reference C11/C12: engine.py:10-225).
+
+One compiled call per batch does what the reference does in ~10 host round
+trips (engine.py:40-97): on-device augmentation → mixup/cutmix → forward →
+loss → backward → (accumulate) → clip/grad-norm → optimizer step with per-step
+LR/WD gathered from schedule arrays → EMA → device-side metrics (loss, acc,
+per-class TP/FP/FN count vectors). The mixup-mode train accuracy's second
+no-grad forward on the un-mixed batch (engine.py:89-97) is folded into the same
+step. The non-finite-loss skip (engine.py:56-59) is a branchless gate: a
+non-finite micro-loss zeroes the accumulated gradient and skips the optimizer
+update.
+
+No GradScaler: TPU mixed precision is bfloat16 (same exponent range as fp32),
+so the reference's AMP loss-scaling machinery (utils.py:427-453) reduces to
+dtype policy + the same grad-norm/clip semantics.
+
+Parallelism: the step is jit-compiled over the mesh; the batch arrives sharded
+on the data axis, params replicated (or FSDP-sharded). XLA inserts the gradient
+all-reduce where the replicated-param gradient meets the sharded batch — the
+DDP backward hook (train.py:219) has no hand-written equivalent here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.augment import AugmentPipeline, eval_preprocess
+from ..data.mixup import MixupConfig, mixup_cutmix, one_hot_smooth
+from ..optim.ema import ema_update
+from ..optim.factory import set_hyperparams
+from .state import TrainState
+
+
+def _per_class_counts(preds, labels, num_classes, weights=None):
+    """TP/FP/FN count vectors (reference Python loop engine.py:84-87, now a
+    scatter-add over the class axis)."""
+    if weights is None:
+        weights = jnp.ones_like(preds, jnp.float32)
+    match = (preds == labels).astype(jnp.float32) * weights
+    miss = (preds != labels).astype(jnp.float32) * weights
+    tp = jnp.zeros(num_classes).at[labels].add(match)
+    fp = jnp.zeros(num_classes).at[preds].add(miss)
+    fn = jnp.zeros(num_classes).at[labels].add(miss)
+    return tp, fp, fn
+
+
+def _global_norm(tree):
+    return optax.global_norm(tree)
+
+
+def build_train_step(
+    model,
+    tx,
+    args,
+    num_classes: int,
+    mixup_cfg: Optional[MixupConfig],
+    lr_schedule,
+    wd_schedule,
+    ema_decay: float = 0.9995,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    `lr_schedule`/`wd_schedule` are device arrays closed over (donated into the
+    executable as constants is avoided — they are captured as jit constants,
+    which XLA keeps device-resident)."""
+    augment = AugmentPipeline(args)
+    update_freq = int(args.update_freq)
+    smoothing = float(args.smoothing)
+    clip_grad = args.clip_grad
+    use_ema = bool(args.model_ema)
+    lr_schedule = jnp.asarray(lr_schedule, jnp.float32)
+    wd_schedule = jnp.asarray(wd_schedule, jnp.float32)
+    has_dropout_like = True  # all models accept a dropout rng
+
+    def loss_fn(params, batch_stats, images, targets, dropout_rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            logits, mutated = model.apply(
+                variables, images, train=True,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            logits = model.apply(
+                variables, images, train=True, rngs={"dropout": dropout_rng}
+            )
+            new_stats = batch_stats
+        if targets.ndim == 2:  # soft targets (mixup) — SoftTargetCE
+            loss = -jnp.mean(
+                jnp.sum(targets * jax.nn.log_softmax(logits.astype(jnp.float32)), -1)
+            )
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), targets
+            ).mean()
+        return loss, (new_stats, logits)
+
+    def train_step(state: TrainState, batch, rng):
+        step = state.step
+        rng = jax.random.fold_in(rng, step)
+        k_aug, k_mix, k_drop, k_drop2 = jax.random.split(rng, 4)
+
+        images = augment(batch["image"], k_aug)
+        labels = batch["label"]
+
+        if mixup_cfg is not None:
+            mixed, targets = mixup_cutmix(images, labels, k_mix, mixup_cfg)
+        elif smoothing > 0:
+            mixed = images
+            targets = one_hot_smooth(labels, num_classes, smoothing)
+        else:
+            mixed = images
+            targets = labels
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, mixed, targets, k_drop)
+
+        finite = jnp.isfinite(loss)
+        inv_freq = 1.0 / update_freq
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g * inv_freq, jnp.zeros_like(g)), grads
+        )
+        # BN stats only advance on finite steps
+        new_stats = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_stats, state.batch_stats
+        )
+
+        if update_freq > 1:
+            accum = jax.tree.map(
+                lambda a, g: jnp.where(finite, a + g, jnp.zeros_like(a)),
+                state.grad_accum, grads,
+            )
+            boundary = (step + 1) % update_freq == 0
+        else:
+            accum = grads
+            boundary = jnp.asarray(True)
+
+        it = jnp.clip(step // update_freq, 0, lr_schedule.shape[0] - 1)
+        lr = lr_schedule[it]
+        wd = wd_schedule[it]
+        opt_state = set_hyperparams(state.opt_state, lr, wd)
+
+        grad_norm = _global_norm(accum)
+        do_update = boundary & finite
+
+        def apply_fn(operand):
+            params, opt_state, accum, ema = operand
+            updates, new_opt = tx.update(accum, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if use_ema:
+                ema = ema_update(ema, new_params, ema_decay)
+            return new_params, new_opt, jax.tree.map(jnp.zeros_like, accum), ema
+
+        def skip_fn(operand):
+            params, opt_state, accum, ema = operand
+            return params, opt_state, accum, ema
+
+        new_params, new_opt, new_accum, new_ema = jax.lax.cond(
+            do_update, apply_fn, skip_fn,
+            (state.params, opt_state, accum, state.ema_params),
+        )
+
+        # ---- metrics (device side, reference engine.py:82-97) ----
+        if mixup_cfg is not None:
+            # second forward on the un-mixed (but augmented) batch; BN uses
+            # batch statistics (torch train-mode forward) but stats are
+            # discarded
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                acc_logits, _ = model.apply(
+                    variables, images, train=True,
+                    rngs={"dropout": k_drop2}, mutable=["batch_stats"],
+                )
+            else:
+                acc_logits = model.apply(
+                    variables, images, train=True, rngs={"dropout": k_drop2}
+                )
+        else:
+            acc_logits = logits
+        preds = jnp.argmax(acc_logits, axis=-1)
+        class_acc = jnp.mean((preds == labels).astype(jnp.float32))
+        tp, fp, fn = _per_class_counts(preds, labels, num_classes)
+
+        metrics = {
+            "loss": loss,
+            "class_acc": class_acc,
+            "grad_norm": grad_norm,
+            "lr": lr,
+            "weight_decay": wd,
+            "tp": tp,
+            "fp": fp,
+            "fn": fn,
+            "skipped": (~finite).astype(jnp.float32),
+        }
+        new_state = state.replace(
+            step=step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema_params=new_ema,
+            grad_accum=new_accum if update_freq > 1 else None,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def build_eval_step(model, num_classes: int) -> Callable:
+    """Returns eval_step(params, batch_stats, batch) -> metric sums.
+
+    Plain-CE loss regardless of train-time criterion (reference engine.py:147).
+    The padded tail of the last batch (label == -1, data/sampler.eval_batches)
+    is masked out of every statistic."""
+
+    def eval_step(params, batch_stats, batch):
+        images = eval_preprocess(batch["image"])
+        labels = batch["label"]
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(variables, images, train=False).astype(jnp.float32)
+
+        valid = (labels >= 0)
+        safe_labels = jnp.maximum(labels, 0)
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, safe_labels)
+        w = valid.astype(jnp.float32)
+
+        preds = jnp.argmax(logits, axis=-1)
+        top1 = ((preds == safe_labels) & valid).astype(jnp.float32)
+        k = min(5, logits.shape[-1])
+        topk = jax.lax.top_k(logits, k)[1]
+        top5 = (jnp.any(topk == safe_labels[:, None], axis=-1) & valid).astype(
+            jnp.float32
+        )
+        tp, fp, fn = _per_class_counts(preds, safe_labels, num_classes, weights=w)
+        return {
+            "loss_sum": jnp.sum(losses * w),
+            "n": jnp.sum(w),
+            "top1_sum": jnp.sum(top1),
+            "top5_sum": jnp.sum(top5),
+            "tp": tp,
+            "fp": fp,
+            "fn": fn,
+        }
+
+    return eval_step

@@ -1,0 +1,211 @@
+"""Golden tests: device image ops vs PIL reference outputs on fixed seeds
+(SURVEY §4 point 1: 'augmentation kernels vs PIL reference outputs')."""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+import jax
+import jax.numpy as jnp
+
+from imageclassification_tpu.ops import image as I
+from imageclassification_tpu.data.mixup import (
+    MixupConfig,
+    mixup_cutmix,
+    one_hot_smooth,
+)
+from imageclassification_tpu.data.randaugment import parse_policy, rand_augment_batch
+from imageclassification_tpu.data.augment import (
+    AugmentPipeline,
+    eval_preprocess,
+    normalize,
+    random_erasing,
+    random_flips,
+)
+from imageclassification_tpu.config import TrainConfig
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, size=(32, 24, 3)).astype(np.uint8)
+
+
+def _pil(arr):
+    return Image.fromarray(arr)
+
+
+def _close(jax_out, pil_img, atol=1.5, frac=0.995):
+    ref = np.asarray(pil_img, dtype=np.float32)
+    got = np.asarray(jax_out)
+    ok = np.abs(got - ref) <= atol
+    assert ok.mean() >= frac, f"only {ok.mean():.3f} of pixels within {atol}"
+
+
+def test_invert(img):
+    _close(I.invert(jnp.asarray(img, jnp.float32)), ImageOps.invert(_pil(img)))
+
+
+@pytest.mark.parametrize("bits", [1, 3, 4, 6])
+def test_posterize(img, bits):
+    out = I.posterize(jnp.asarray(img, jnp.float32), jnp.asarray(bits))
+    _close(out, ImageOps.posterize(_pil(img), bits), atol=0.5)
+
+
+@pytest.mark.parametrize("thresh", [26, 128, 230])
+def test_solarize(img, thresh):
+    out = I.solarize(jnp.asarray(img, jnp.float32), float(thresh))
+    _close(out, ImageOps.solarize(_pil(img), thresh), atol=0.5)
+
+
+def test_autocontrast(img):
+    out = I.autocontrast(jnp.asarray(img, jnp.float32))
+    _close(out, ImageOps.autocontrast(_pil(img)), atol=1.5)
+
+
+def test_equalize(img):
+    out = I.equalize(jnp.asarray(img, jnp.float32))
+    _close(out, ImageOps.equalize(_pil(img)), atol=1.5)
+
+
+@pytest.mark.parametrize("factor", [0.1, 0.7, 1.4])
+def test_brightness(img, factor):
+    out = I.adjust_brightness(jnp.asarray(img, jnp.float32), factor)
+    _close(out, ImageEnhance.Brightness(_pil(img)).enhance(factor))
+
+
+@pytest.mark.parametrize("factor", [0.3, 1.0, 1.8])
+def test_contrast(img, factor):
+    out = I.adjust_contrast(jnp.asarray(img, jnp.float32), factor)
+    _close(out, ImageEnhance.Contrast(_pil(img)).enhance(factor))
+
+
+@pytest.mark.parametrize("factor", [0.2, 1.5])
+def test_saturation(img, factor):
+    out = I.adjust_saturation(jnp.asarray(img, jnp.float32), factor)
+    _close(out, ImageEnhance.Color(_pil(img)).enhance(factor), atol=2.0)
+
+
+@pytest.mark.parametrize("factor", [0.3, 1.7])
+def test_sharpness(img, factor):
+    out = I.adjust_sharpness(jnp.asarray(img, jnp.float32), factor)
+    _close(out, ImageEnhance.Sharpness(_pil(img)).enhance(factor), atol=2.0, frac=0.97)
+
+
+def test_shear_x_matches_pil(img):
+    v = 0.2
+    out = I.shear_x(jnp.asarray(img, jnp.float32), v, jnp.array([128.0] * 3))
+    ref = _pil(img).transform(
+        _pil(img).size, Image.AFFINE, (1, v, 0, 0, 1, 0),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128),
+    )
+    _close(out, ref, atol=2.0, frac=0.93)
+
+
+def test_translate_matches_pil(img):
+    out = I.translate_x(jnp.asarray(img, jnp.float32), 5.0, jnp.array([128.0] * 3))
+    ref = _pil(img).transform(
+        _pil(img).size, Image.AFFINE, (1, 0, 5, 0, 1, 0),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128),
+    )
+    _close(out, ref, atol=1.0, frac=0.99)
+
+
+def test_rotate_preserves_center_mass(img):
+    # rotating by 360 == identity (up to interpolation at edges)
+    x = jnp.asarray(img, jnp.float32)
+    out = I.rotate(x, 360.0, jnp.array([128.0] * 3))
+    assert float(jnp.abs(out - x).mean()) < 1.0
+
+
+# ---------------------------------------------------------------- pipeline --
+
+
+def test_randaugment_batch_runs_and_differs():
+    cfg = parse_policy("rand-m9-mstd0.5-inc1")
+    assert cfg.magnitude == 9 and cfg.mstd == 0.5 and cfg.increasing
+    rng = jax.random.key(0)
+    x = jnp.broadcast_to(
+        jnp.asarray(np.random.default_rng(0).integers(0, 255, (16, 16, 3)),
+                    jnp.float32), (4, 16, 16, 3))
+    out = rand_augment_batch(x, rng, cfg)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+    # per-sample keys → samples get different treatments
+    diffs = [float(jnp.abs(out[i] - out[j]).max()) for i in range(3) for j in range(i + 1, 4)]
+    assert max(diffs) > 0
+
+
+def test_flips_deterministic_given_key():
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    a = random_flips(x, jax.random.key(3))
+    b = random_flips(x, jax.random.key(3))
+    assert bool(jnp.all(a == b))
+
+
+def test_normalize_values():
+    x = jnp.full((1, 2, 2, 3), 0.5)
+    out = normalize(x)
+    expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expected, rtol=1e-5)
+
+
+def test_random_erasing_fraction():
+    rng = jax.random.key(0)
+    x = jnp.zeros((64, 32, 32, 3))
+    out = random_erasing(x, rng, prob=1.0, mode="pixel", count=1)
+    changed = (jnp.abs(out) > 0).any(axis=-1).mean(axis=(1, 2))
+    # every sample should have an erased rectangle between ~2% and ~34%
+    assert float(changed.min()) > 0.0
+    assert float(changed.max()) <= 0.34 + 0.05
+    out0 = random_erasing(x, rng, prob=0.0)
+    assert float(jnp.abs(out0).max()) == 0.0
+
+
+def test_mixup_batch_mode_targets_sum_to_one():
+    cfg = MixupConfig(mixup_alpha=0.8, num_classes=5, label_smoothing=0.1)
+    x = jnp.ones((8, 8, 8, 3))
+    y = jnp.arange(8) % 5
+    mixed, targets = mixup_cutmix(x, y, jax.random.key(0), cfg)
+    assert mixed.shape == x.shape and targets.shape == (8, 5)
+    np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_cutmix_box_replaces_pixels():
+    cfg = MixupConfig(mixup_alpha=0.0, cutmix_alpha=1.0, num_classes=2,
+                      label_smoothing=0.0, prob=1.0)
+    x = jnp.stack([jnp.zeros((16, 16, 3)), jnp.ones((16, 16, 3))])
+    y = jnp.array([0, 1])
+    mixed, targets = mixup_cutmix(x, y, jax.random.key(1), cfg)
+    frac_ones = float((mixed[0] > 0.5).mean())
+    # lam correction: target weight matches realized pixel fraction
+    np.testing.assert_allclose(float(targets[0, 1]), frac_ones, atol=1e-5)
+
+
+def test_one_hot_smooth():
+    t = one_hot_smooth(jnp.array([1]), 4, smoothing=0.1)
+    np.testing.assert_allclose(np.asarray(t[0]),
+                               [0.025, 0.925, 0.025, 0.025], rtol=1e-6)
+
+
+def test_mixup_elem_and_pair_modes():
+    for mode in ("elem", "pair"):
+        cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=3,
+                          mode=mode, label_smoothing=0.0)
+        x = jnp.ones((6, 8, 8, 3))
+        y = jnp.arange(6) % 3
+        mixed, targets = mixup_cutmix(x, y, jax.random.key(2), cfg)
+        assert mixed.shape == x.shape
+        np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_full_pipeline_shapes_and_dtype():
+    cfg = TrainConfig(aa="rand-m9-mstd0.5-inc1", reprob=0.25)
+    pipe = AugmentPipeline(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3)), jnp.uint8)
+    out = jax.jit(pipe)(x, jax.random.key(0))
+    assert out.shape == (4, 32, 32, 3) and out.dtype == jnp.float32
+    assert bool(jnp.isfinite(out).all())
+    ev = eval_preprocess(x)
+    assert ev.shape == out.shape
