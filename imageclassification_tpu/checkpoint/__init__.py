@@ -1,0 +1,1 @@
+from .io import save_model, auto_load_model, load_checkpoint, load_params_with_pruning

@@ -1,0 +1,198 @@
+"""Checkpoint save/resume (reference C16/C17: utils.py:536-615).
+
+CLI-visible behavior preserved:
+  * files named `checkpoint-{N|best|best-ema}.pth` under the output dir
+    (utils.py:540), rolling deletion of checkpoints older than
+    save_ckpt_num*save_ckpt_freq (utils.py:554-558), rank-0-only writes;
+  * auto-resume scans for the max numeric epoch (utils.py:563-573);
+  * transfer-learning load prunes keys that mismatch by NAME or SHAPE, printing
+    `Skipping mismatched key: <k>` per drop (utils.py:584-595);
+  * optimizer/epoch/EMA state restored ONLY when every key matched
+    (missing_nums == 0, utils.py:605-614); best/best-ema resumable only for
+    --eval; EMA re-seeded from the model when absent (utils.py:599-603).
+
+Payload: instead of pickling a live nn.Module (reference README.md:12), we
+store flattened numpy pytrees + a model spec (name + ctor kwargs), which gives
+the same "checkpoint knows its own architecture" UX (val.py rebuilds the model
+without the user naming it, val.py:14-28) without arbitrary-code-execution
+pickles.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..parallel.dist import is_main_process
+
+FORMAT_VERSION = 1
+
+
+def _key_str(p) -> str:
+    # DictKey(.key) / SequenceKey(.idx) / GetAttrKey(.name) / FlattenedIndexKey(.key)
+    for attr in ("key", "idx", "name"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(_key_str(p) for p in path)
+        out[key] = np.asarray(jax.device_get(leaf))
+    return out
+
+
+def _unflatten_like(template, flat: Dict[str, np.ndarray]):
+    """Rebuild a pytree shaped like `template` from a flat dict; leaves missing
+    from `flat` keep the template's value."""
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths:
+        key = "/".join(_key_str(p) for p in path)
+        leaves.append(flat.get(key, leaf))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_model(
+    args,
+    input_shape,
+    epoch,
+    state,
+    num_classes: int,
+    model_spec: Dict[str, Any],
+):
+    """Write checkpoint-{epoch}.pth (reference utils.py:536-558)."""
+    epoch_name = str(epoch)
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    checkpoint_path = output_dir / f"checkpoint-{epoch_name}.pth"
+
+    to_save = {
+        "format_version": FORMAT_VERSION,
+        "model_spec": model_spec,          # {'name':..., 'kwargs':...}
+        "model": _flatten(state.params),
+        "batch_stats": _flatten(state.batch_stats),
+        "optimizer": _flatten(state.opt_state),
+        "step": int(state.step),
+        "epoch": epoch,
+        "input_shape": list(input_shape),
+        "num_classes": num_classes,
+        "args": args.to_dict() if hasattr(args, "to_dict") else vars(args),
+    }
+    if state.ema_params is not None:
+        to_save["model_ema"] = _flatten(state.ema_params)
+
+    if is_main_process():
+        tmp = str(checkpoint_path) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(to_save, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, checkpoint_path)
+
+        # rolling retention (reference utils.py:554-558)
+        if isinstance(epoch, int):
+            to_del = epoch - args.save_ckpt_num * args.save_ckpt_freq
+            old_ckpt = output_dir / f"checkpoint-{to_del}.pth"
+            if old_ckpt.exists():
+                os.remove(old_ckpt)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_params_with_pruning(
+    params, ckpt_flat: Dict[str, np.ndarray], verbose: bool = True
+) -> Tuple[Any, int]:
+    """Keep only keys matching by name AND shape; returns (params, missing_nums).
+    Prints `Skipping mismatched key: <k>` per drop (reference utils.py:584-595)."""
+    current = _flatten(params)
+    kept = {}
+    missing_nums = 0
+    for k, v in ckpt_flat.items():
+        if k in current and tuple(v.shape) == tuple(current[k].shape):
+            kept[k] = v
+        else:
+            if verbose:
+                print(f"Skipping mismatched key: {k}")
+            missing_nums += 1
+    return _unflatten_like(params, kept), missing_nums
+
+
+def find_latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Max numeric epoch among checkpoint-*.pth (reference utils.py:563-573)."""
+    all_checkpoints = glob.glob(os.path.join(output_dir, "checkpoint-*.pth"))
+    latest = -1
+    for ckpt in all_checkpoints:
+        t = ckpt.split("-")[-1].split(".")[0]
+        if t.isdigit():
+            latest = max(int(t), latest)
+    if latest >= 0:
+        return os.path.join(output_dir, f"checkpoint-{latest}.pth")
+    return None
+
+
+def auto_load_model(args, state, model_spec=None):
+    """Resume/transfer-load into `state` (reference utils.py:561-615 semantics).
+    Returns (state, loaded_checkpoint_dict_or_None). Mutates args.start_epoch /
+    args.resume exactly as the reference does."""
+    if args.auto_resume and len(args.resume) == 0:
+        latest = find_latest_checkpoint(args.output_dir)
+        if latest is not None:
+            args.resume = latest
+        print("Auto resume checkpoint: %s" % args.resume)
+
+    if not args.resume:
+        return state, None
+
+    print(args.resume)
+    checkpoint = load_checkpoint(args.resume)
+
+    new_params, missing_nums = load_params_with_pruning(
+        state.params, checkpoint["model"]
+    )
+    state = state.replace(params=new_params)
+    if checkpoint.get("batch_stats") and state.batch_stats:
+        new_stats, _ = load_params_with_pruning(
+            state.batch_stats, checkpoint["batch_stats"], verbose=False
+        )
+        state = state.replace(batch_stats=new_stats)
+    print("Resume checkpoint %s" % args.resume)
+
+    if args.model_ema and state.ema_params is not None:
+        if "model_ema" in checkpoint and missing_nums == 0:
+            ema, _ = load_params_with_pruning(
+                state.ema_params, checkpoint["model_ema"], verbose=False
+            )
+            state = state.replace(ema_params=ema)
+        else:
+            # re-seed EMA from the (possibly pruned-loaded) model; real copy —
+            # aliased buffers would break train-state donation
+            state = state.replace(
+                ema_params=jax.tree.map(jax.numpy.copy, state.params)
+            )
+
+    if "optimizer" in checkpoint and "epoch" in checkpoint and missing_nums == 0:
+        opt, _ = load_params_with_pruning(
+            state.opt_state, checkpoint["optimizer"], verbose=False
+        )
+        state = state.replace(opt_state=opt)
+        if "step" in checkpoint:
+            state = state.replace(
+                step=jax.numpy.asarray(checkpoint["step"], jax.numpy.int32)
+            )
+        if not isinstance(checkpoint["epoch"], str):
+            args.start_epoch = checkpoint["epoch"] + 1
+        else:
+            assert args.eval, "Does not support resuming with checkpoint-best"
+        print("With optim & sched!")
+    return state, checkpoint

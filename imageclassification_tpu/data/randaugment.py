@@ -189,12 +189,67 @@ def parse_policy(aa: str) -> RandAugmentConfig:
     return cfg
 
 
+# Geometric ops share one affine resample (see rand_augment_image): op index →
+# affine coefficient builder. Indices refer to positions in the op lists above.
+_GEOM_INDICES = {3: "rotate", 11: "shear_x", 12: "shear_y",
+                 13: "translate_x", 14: "translate_y"}
+
+
+def _affine_coeffs(op_idx, m, rng, H, W):
+    """Coefficients for the op's affine map; identity when op is non-geometric.
+    Computing all five candidate matrices and selecting is ~15 scalar FLOPs —
+    vastly cheaper to compile than five separate gather branches."""
+    sv = _rand_sign(rng, (m / _LEVEL_DENOM) * 0.3)
+    tx = _rand_sign(jax.random.fold_in(rng, 1), (m / _LEVEL_DENOM) * 0.45 * W)
+    ty = _rand_sign(jax.random.fold_in(rng, 2), (m / _LEVEL_DENOM) * 0.45 * H)
+    deg = _rand_sign(jax.random.fold_in(rng, 3), (m / _LEVEL_DENOM) * 30.0)
+    theta = jnp.deg2rad(deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = W / 2.0, H / 2.0
+    rot = jnp.array([cos, sin, cx - cos * cx - sin * cy,
+                     -sin, cos, cy + sin * cx - cos * cy])
+    identity = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0])
+    cands = jnp.stack([
+        identity,
+        rot,                                                   # rotate
+        jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0]) + jnp.array([0, 1, 0, 0, 0, 0]) * sv,  # shear_x
+        jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0]) + jnp.array([0, 0, 0, 1, 0, 0]) * sv,  # shear_y
+        jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0]) + jnp.array([0, 0, 1, 0, 0, 0]) * tx,  # translate_x
+        jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0]) + jnp.array([0, 0, 0, 0, 0, 1]) * ty,  # translate_y
+    ])
+    sel = jnp.select(
+        [op_idx == 3, op_idx == 11, op_idx == 12, op_idx == 13, op_idx == 14],
+        [1, 2, 3, 4, 5],
+        0,
+    )
+    return cands[sel], sel > 0
+
+
 def rand_augment_image(img, rng, cfg: RandAugmentConfig):
     """Apply `num_layers` randomly-chosen ops to one image (timm RandAugment:
-    each chosen op applies with prob 0.5; magnitude ~ N(m, mstd) clipped)."""
-    branches = [
-        (lambda f: (lambda a: f(a[0], a[1], a[2])))(f) for f in cfg.ops
+    each chosen op applies with prob 0.5; magnitude ~ N(m, mstd) clipped).
+
+    Compile-friendly structure: the five geometric ops all route through ONE
+    shared `affine_inverse` gather (matrix selected per sample); only the ten
+    pixel ops live in the lax.switch. Under vmap the switch lowers to batched
+    ops + selects, so this keeps the graph to ~10 cheap batched pixel ops + one
+    gather per layer instead of five gather branches."""
+    H, W, _ = img.shape
+    pixel_ops = [f for i, f in enumerate(cfg.ops) if i not in _GEOM_INDICES]
+    pixel_branches = [
+        (lambda f: (lambda a: f(a[0], a[1], a[2])))(f) for f in pixel_ops
     ]
+    # map full op index → pixel branch index (geometric → 0, unused)
+    pixel_index = []
+    j = 0
+    for i in range(len(cfg.ops)):
+        if i in _GEOM_INDICES:
+            pixel_index.append(0)
+        else:
+            pixel_index.append(j)
+            j += 1
+    pixel_index = jnp.asarray(pixel_index)
+
     for layer in range(cfg.num_layers):
         k_op, k_mag, k_apply, k_inner, rng = jax.random.split(rng, 5)
         op_idx = jax.random.randint(k_op, (), 0, len(cfg.ops))
@@ -203,7 +258,13 @@ def rand_augment_image(img, rng, cfg: RandAugmentConfig):
         else:
             m = jnp.asarray(cfg.magnitude, jnp.float32)
         m = jnp.clip(m, 0.0, _LEVEL_DENOM)
-        out = jax.lax.switch(op_idx, branches, (img, m, k_inner))
+
+        coeffs, is_geom = _affine_coeffs(op_idx, m, k_inner, H, W)
+        geom_out = I.affine_inverse(img, tuple(coeffs), FILL)
+        pixel_out = jax.lax.switch(
+            pixel_index[op_idx], pixel_branches, (img, m, k_inner)
+        )
+        out = jnp.where(is_geom, geom_out, pixel_out)
         apply = jax.random.bernoulli(k_apply, cfg.prob)
         img = jnp.where(apply, out, img)
     return img

@@ -20,8 +20,10 @@ import jax.numpy as jnp
 
 
 def init_ema(params):
-    """Seed EMA with a copy of the params (timm ModelEmaV3.set)."""
-    return jax.tree.map(lambda p: jnp.asarray(p), params)
+    """Seed EMA with a COPY of the params (timm ModelEmaV3.set). Must be a real
+    copy — aliasing the param buffers breaks donation of the train state
+    (XLA rejects donating the same buffer twice)."""
+    return jax.tree.map(jnp.copy, params)
 
 
 def ema_update(ema_params, params, decay, do_update=True):

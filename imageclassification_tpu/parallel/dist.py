@@ -51,9 +51,20 @@ def init_distributed_mode(args) -> None:
         rank = _env_int("SLURM_PROCID")
         world = _env_int("SLURM_NTASKS")
         coordinator = args.dist_url.replace("tcp://", "") if args.dist_url.startswith("tcp://") else None
-    elif os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        # Cloud TPU pod: jax.distributed.initialize auto-discovers everything.
-        jax.distributed.initialize()
+    elif (
+        len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    ):
+        # Cloud TPU pod (>1 host): jax.distributed auto-discovers everything.
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            # backend already up (single-host dev loop) — continue single-process
+            print(f"Not using distributed mode ({e})")
+            args.distributed = False
+            args.rank = 0
+            args.world_size = 1
+            return
         args.distributed = True
         args.rank = jax.process_index()
         args.world_size = jax.process_count()

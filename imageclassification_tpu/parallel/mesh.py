@@ -89,9 +89,12 @@ def param_sharding_rules(mesh: Mesh, params, fsdp: bool = False):
 
 
 def shard_params(mesh: Mesh, params, fsdp: bool = False):
-    """Place a (host) parameter pytree onto the mesh with DP or FSDP layout."""
+    """Place a (host) parameter pytree onto the mesh with DP or FSDP layout.
+
+    One batched device_put for the whole tree — per-leaf puts pay a full
+    host↔device round trip each (minutes over a tunneled link)."""
     shardings = param_sharding_rules(mesh, params, fsdp=fsdp)
-    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
+    return jax.device_put(params, shardings)
 
 
 def make_global_batch(mesh: Mesh, host_batch):

@@ -3,8 +3,9 @@ is exercised without TPU hardware (SURVEY §4 point 3). Must run before jax impo
 
 import os
 
-# Force-override: the host env presets JAX_PLATFORMS=axon (the tunneled TPU);
-# unit tests must run on the virtual CPU mesh.
+# Force-override: the host sitecustomize registers the tunneled-TPU ('axon')
+# PJRT plugin at interpreter start, so the env var alone is NOT enough — the
+# jax.config update below is what actually pins tests to the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -12,8 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

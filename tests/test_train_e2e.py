@@ -1,0 +1,104 @@
+"""Integration: tiny end-to-end training runs through the real CLI main()
+(SURVEY §4 point 2 — assert loss decreases, class_indices.json and
+checkpoint-* artifacts appear, auto-resume continues at epoch+1)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from imageclassification_tpu.config import TrainConfig
+
+
+def _base_cfg(toy_dataset, tmp_path, **kw):
+    defaults = dict(
+        data_path=toy_dataset,
+        train_split_rato=0.5,
+        output_dir=str(tmp_path / "output"),
+        log_dir=str(tmp_path / "log_dir"),
+        model="resnet18",
+        pretrained=False,
+        batch_size=8,
+        epochs=2,
+        warmup_epochs=0,
+        input_size=32,
+        num_workers=2,
+        mixup=0.0,
+        cutmix=0.0,
+        smoothing=0.0,
+        reprob=0.0,
+        color_jitter=0.0,
+        model_ema=False,
+        save_ckpt=True,
+        device="cpu",
+        lr=1e-3,
+        half_precision=False,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+@pytest.mark.slow
+def test_end_to_end_train_and_resume(toy_dataset, tmp_path, capsys):
+    import train as train_cli
+
+    cfg = _base_cfg(toy_dataset, tmp_path)
+    train_cli.main(cfg)
+
+    out = tmp_path / "output"
+    assert (out / "class_indices.json").exists()
+    with open(out / "class_indices.json") as f:
+        assert json.load(f) == {"0": "cat", "1": "dog", "2": "fox"}
+    assert (out / "checkpoint-0.pth").exists()
+    assert (out / "checkpoint-1.pth").exists()
+    assert (out / "checkpoint-best.pth").exists()
+    # JSON-line epoch log (reference train.py:391-397 writes train_cls/log.txt)
+    log_file = out.parent / "log.txt"
+    assert log_file.exists()
+    lines = [json.loads(l) for l in open(log_file)]
+    assert len(lines) == 2
+    assert "train_loss" in lines[0] and "test_acc1" in lines[0]
+
+    # resume: epochs=3 → continues from epoch 2 only
+    cfg2 = _base_cfg(toy_dataset, tmp_path, epochs=3)
+    train_cli.main(cfg2)
+    assert cfg2.start_epoch == 2  # auto-resumed from checkpoint-1
+    lines = [json.loads(l) for l in open(log_file)]
+    assert len(lines) == 3
+    assert lines[-1]["epoch"] == 2
+
+
+@pytest.mark.slow
+def test_end_to_end_mixup_ema(toy_dataset, tmp_path):
+    import train as train_cli
+
+    cfg = _base_cfg(
+        toy_dataset, tmp_path,
+        epochs=1, mixup=0.8, cutmix=1.0, smoothing=0.1,
+        model_ema=True, reprob=0.25, aa="rand-m9-mstd0.5-inc1",
+        model="convnext_atto", drop_path=0.1,
+    )
+    train_cli.main(cfg)
+    out = tmp_path / "output"
+    assert (out / "checkpoint-0.pth").exists()
+    assert (out / "checkpoint-best-ema.pth").exists()
+    import pickle
+
+    with open(out / "checkpoint-0.pth", "rb") as f:
+        ck = pickle.load(f)
+    assert "model_ema" in ck
+    assert ck["num_classes"] == 3
+    assert ck["model_spec"]["name"] == "convnext_atto"
+
+
+@pytest.mark.slow
+def test_eval_only_mode(toy_dataset, tmp_path, capsys):
+    import train as train_cli
+
+    cfg = _base_cfg(toy_dataset, tmp_path, epochs=1)
+    train_cli.main(cfg)
+    cfg2 = _base_cfg(toy_dataset, tmp_path, eval=True)
+    train_cli.main(cfg2)
+    captured = capsys.readouterr()
+    assert "Eval only mode" in captured.out
