@@ -1,0 +1,99 @@
+"""Throughput benchmark: ResNet-50 training images/sec on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against the BASELINE.md target — 90% of the bf16
+roofline for ResNet-50 training on this chip (v5e: 197 bf16 TFLOP/s;
+ResNet-50 ≈ 4.1 GFLOP forward at 224², training ≈ 3× forward):
+    roofline ≈ 197e12 / (3 × 4.1e9) ≈ 16.0k img/s/chip, target = 0.9 × that.
+vs_baseline = measured / target (>1.0 beats the target).
+
+Synthetic uint8 data resident on device; the timed region is the full fused
+train step (augmentation + mixup + fwd/bwd + optimizer + EMA + metrics) — the
+same executable train.py runs, not a stripped matmul loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/imgcls_tpu_xla")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from imageclassification_tpu.config import TrainConfig
+    from imageclassification_tpu.data.mixup import build_mixup
+    from imageclassification_tpu.engine.state import create_train_state
+    from imageclassification_tpu.engine.step import build_train_step
+    from imageclassification_tpu.models import create_model
+    from imageclassification_tpu.optim.factory import create_optimizer
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    size = 224
+    num_classes = 1000
+
+    cfg = TrainConfig(
+        model="resnet50",
+        input_size=size,
+        batch_size=batch,
+        mixup=0.8,
+        smoothing=0.1,
+        reprob=0.25,
+        color_jitter=0.3,
+        half_precision=True,
+    )
+    model = create_model("resnet50", num_classes=num_classes, half_precision=True)
+    tx = create_optimizer(cfg.opt, cfg.lr, cfg.weight_decay)
+    state = create_train_state(model, tx, jax.random.key(0), (1, size, size, 3))
+    mix = build_mixup(cfg, num_classes)
+    lr = np.full(1000, 1e-3, np.float32)
+    wd = np.full(1000, 5e-4, np.float32)
+    step = jax.jit(
+        build_train_step(model, tx, cfg, num_classes, mix, lr, wd),
+        donate_argnums=(0,),
+    )
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (batch, size, size, 3)), jnp.uint8
+    )
+    labels = jnp.asarray(rng.integers(0, num_classes, (batch,)), jnp.int32)
+    data = {"image": images, "label": labels}
+    key = jax.random.key(1)
+
+    # warmup (compile + 3 steps)
+    for _ in range(3):
+        state, metrics = step(state, data, key)
+    jax.block_until_ready(metrics)
+
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data, key)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    roofline = 197e12 / (3 * 4.1e9)      # v5e bf16 peak / ResNet-50 train FLOPs
+    target = 0.9 * roofline
+    out = {
+        "metric": "resnet50_train_images_per_sec_per_chip",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / target, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,4 +11,5 @@ from .mesh import (
     replicated_sharding,
     param_sharding_rules,
     shard_params,
+    make_global_batch,
 )

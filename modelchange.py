@@ -1,0 +1,201 @@
+"""Model lifecycle conversions (reference C19: modelchange.py) — TPU-native.
+
+Mapping from the reference's CUDA-serving formats to TPU/portable ones
+(SURVEY §2.3 export row):
+
+  reference                         | here
+  ----------------------------------+------------------------------------------
+  convert_model_ema_to_model (:155) | same: promote EMA weights into `model`,
+                                    | strip optimizer state
+  dynamic_quantize_model (:7-20)    | weight-only quantization of Dense/1x1
+                                    | kernels: int8 per-channel absmax scales,
+                                    | or bf16/fp16 cast
+  pth2jit  (torch.jit.trace, :23)   | pth2aot: AOT-lowered XLA executable via
+                                    | jax.export (compile-ready StableHLO,
+                                    | platform-tagged)
+  pth2onnx (:37-65)                 | pth2stablehlo: serialized StableHLO
+                                    | artifact (the portable interchange format
+                                    | of the XLA ecosystem), verified by
+                                    | round-trip deserialize + numeric check
+                                    | (the onnx.checker equivalent)
+  onnx2trt / pth2trt (:68-153)      | the same StableHLO artifact IS the
+                                    | serving input for TPU (XLA consumes it
+                                    | directly); `pth2trt` alias kept
+
+Each function takes a checkpoint path produced by train.py (the checkpoint
+stores its own model_spec + input_shape, so no architecture flags are needed —
+same UX as the reference's pickled-module checkpoints).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imageclassification_tpu.checkpoint.io import load_checkpoint
+from val import initialize_model
+
+
+def _forward_fn(model, batch_stats):
+    def fwd(params, x):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, x, train=False)
+
+    return fwd
+
+
+def convert_model_ema_to_model(pth_path: str, out_path: str | None = None) -> str:
+    """Promote EMA weights into `model` and strip optimizer/step state
+    (reference modelchange.py:155-162)."""
+    ck = load_checkpoint(pth_path)
+    if "model_ema" not in ck:
+        raise KeyError(f"{pth_path} has no model_ema")
+    ck["model"] = ck.pop("model_ema")
+    ck.pop("optimizer", None)
+    ck.pop("step", None)
+    out_path = out_path or pth_path.replace(".pth", "-ema.pth")
+    with open(out_path, "wb") as f:
+        pickle.dump(ck, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print(f"wrote {out_path}")
+    return out_path
+
+
+def dynamic_quantize_model(
+    pth_path: str, dtype: str = "int8", out_path: str | None = None
+) -> str:
+    """Weight-only quantization of matmul kernels (reference
+    modelchange.py:7-20 quantizes Linear layers to int8/fp16).
+
+    int8: per-output-channel absmax scaling on 2-D kernels (Dense / 1×1 conv
+    collapsed); other tensors stay fp32. fp16/bf16: cast everything."""
+    ck = load_checkpoint(pth_path)
+    flat = ck["model"]
+    qflat = {}
+    scales = {}
+    for k, v in flat.items():
+        arr = np.asarray(v)
+        if dtype in ("fp16", "float16"):
+            qflat[k] = arr.astype(np.float16)
+        elif dtype in ("bf16", "bfloat16"):
+            qflat[k] = np.asarray(jnp.asarray(arr, jnp.bfloat16))
+        elif dtype == "int8":
+            if k.endswith("kernel") and arr.ndim >= 2 and arr.size > 4096:
+                mat = arr.reshape(-1, arr.shape[-1])
+                s = np.abs(mat).max(axis=0) / 127.0
+                s = np.where(s == 0, 1.0, s)
+                q = np.clip(np.round(mat / s), -127, 127).astype(np.int8)
+                qflat[k] = q.reshape(arr.shape)
+                scales[k] = s.astype(np.float32)
+            else:
+                qflat[k] = arr
+        else:
+            raise ValueError(f"unsupported quantization dtype {dtype}")
+    ck["model"] = qflat
+    ck["quant_scales"] = scales
+    ck["quant_dtype"] = dtype
+    out_path = out_path or pth_path.replace(".pth", f"-{dtype}.pth")
+    with open(out_path, "wb") as f:
+        pickle.dump(ck, f, protocol=pickle.HIGHEST_PROTOCOL)
+    n_q = len(scales)
+    print(f"wrote {out_path} ({dtype}; {n_q} kernels quantized)")
+    return out_path
+
+
+def _export_model(pth_path: str, model_ema: bool, platforms=None):
+    from jax import export as jexport
+
+    ck = load_checkpoint(pth_path)
+    model, params, batch_stats, _ = initialize_model(pth_path, model_ema)
+    shape = tuple(ck.get("input_shape") or (1, 224, 224, 3))
+    fwd = _forward_fn(model, batch_stats)
+    fn = jax.jit(lambda x: fwd(params, x))
+    kwargs = {}
+    if platforms:
+        kwargs["platforms"] = platforms
+    exp = jexport.export(fn, **kwargs)(
+        jax.ShapeDtypeStruct(shape, jnp.float32)
+    )
+    return exp, shape
+
+
+def pth2stablehlo(
+    pth_path: str, out_path: str | None = None, model_ema: bool = False
+) -> str:
+    """Export the inference function as a serialized StableHLO artifact with
+    weights baked in; verify by round-trip deserialize + numeric comparison
+    (the reference's onnx.checker step, modelchange.py:56-58)."""
+    from jax import export as jexport
+
+    exp, shape = _export_model(pth_path, model_ema, platforms=["cpu", "tpu"])
+    data = exp.serialize()
+    out_path = out_path or pth_path.replace(".pth", ".stablehlo")
+    with open(out_path, "wb") as f:
+        f.write(data)
+
+    # checker: reload and compare against the live model on zeros
+    back = jexport.deserialize(data)
+    x = jnp.zeros(shape, jnp.float32)
+    ref = exp.call(x)
+    got = back.call(x)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(got, np.float32), rtol=1e-5
+    )
+    print(f"wrote {out_path} ({len(data)} bytes, verified)")
+    return out_path
+
+
+def pth2aot(
+    pth_path: str, out_path: str | None = None, model_ema: bool = False
+) -> str:
+    """AOT artifact for the CURRENT backend (torch.jit.trace analogue,
+    reference modelchange.py:23-35): platform-tagged StableHLO that XLA
+    consumes without retracing Python."""
+    exp, _ = _export_model(pth_path, model_ema)
+    out_path = out_path or pth_path.replace(".pth", ".aot.stablehlo")
+    with open(out_path, "wb") as f:
+        f.write(exp.serialize())
+    print(f"wrote {out_path} (platforms={exp.platforms})")
+    return out_path
+
+
+# serving alias: on TPU the serialized StableHLO plays the role the TensorRT
+# engine plays on GPU (reference pth2trt, modelchange.py:146-153)
+pth2trt = pth2stablehlo
+
+
+def load_stablehlo(path: str):
+    """Deserialize an exported artifact; returns an object with .call(x)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        return jexport.deserialize(f.read())
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser("Checkpoint conversion")
+    p.add_argument("--ckpt", default="train_cls/output/checkpoint-best.pth")
+    p.add_argument(
+        "--mode",
+        default="stablehlo",
+        choices=["ema2model", "quantize", "stablehlo", "aot"],
+    )
+    p.add_argument("--dtype", default="int8")
+    p.add_argument("--model_ema", default=False, action="store_true")
+    p.add_argument("--out", default=None)
+    a = p.parse_args()
+    if a.mode == "ema2model":
+        convert_model_ema_to_model(a.ckpt, a.out)
+    elif a.mode == "quantize":
+        dynamic_quantize_model(a.ckpt, a.dtype, a.out)
+    elif a.mode == "aot":
+        pth2aot(a.ckpt, a.out, a.model_ema)
+    else:
+        pth2stablehlo(a.ckpt, a.out, a.model_ema)

@@ -1,0 +1,132 @@
+"""val.py and modelchange.py flows against a real trained checkpoint
+(reference C18/C19 behaviors)."""
+
+import os
+import pickle
+import shutil
+
+import numpy as np
+import pytest
+
+from imageclassification_tpu.config import TrainConfig
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(toy_dataset, tmp_path_factory):
+    """Train 1 epoch with EMA and return (output_dir, ckpt_path)."""
+    import train as train_cli
+
+    tmp = tmp_path_factory.mktemp("valrun")
+    cfg = TrainConfig(
+        data_path=toy_dataset, train_split_rato=0.5,
+        output_dir=str(tmp / "output"), log_dir=str(tmp / "log"),
+        model="resnet18", pretrained=False, batch_size=8, epochs=1,
+        warmup_epochs=0, input_size=32, num_workers=2, mixup=0.0, cutmix=0.0,
+        smoothing=0.0, reprob=0.0, color_jitter=0.0, model_ema=True,
+        device="cpu", half_precision=False,
+    )
+    train_cli.main(cfg)
+    return str(tmp / "output"), str(tmp / "output" / "checkpoint-0.pth")
+
+
+def test_initialize_model_raw_and_ema(trained_ckpt):
+    from val import initialize_model
+
+    _, ckpt = trained_ckpt
+    model, params, batch_stats, nc = initialize_model(ckpt, model_ema=False)
+    assert nc == 3
+    model2, ema_params, _, _ = initialize_model(ckpt, model_ema=True)
+    # EMA after 2 steps differs from raw params
+    import jax
+
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params, ema_params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_val_precision_prints(trained_ckpt, toy_dataset, capsys):
+    from val import val_precision
+
+    _, ckpt = trained_ckpt
+    tp, fp, fn = val_precision(toy_dataset, ckpt, 32, model_ema=False, batch_size=16)
+    out = capsys.readouterr().out
+    assert "Precision0:" in out and "Recall2:" in out
+    assert tp.sum() + fp.sum() > 0
+    # every sample accounted for exactly once: tp+fp == #samples
+    assert int(tp.sum() + fp.sum()) == 30
+
+
+def test_val_move_binary_triage(trained_ckpt, toy_dataset, tmp_path):
+    from val import val_move
+
+    _, ckpt = trained_ckpt
+    src = tmp_path / "incoming"
+    src.mkdir()
+    n = 0
+    for cls_dir in os.listdir(toy_dataset):
+        for f in os.listdir(os.path.join(toy_dataset, cls_dir))[:3]:
+            shutil.copy(os.path.join(toy_dataset, cls_dir, f), src / f"{cls_dir}_{f}")
+            n += 1
+    val_move(str(src), ckpt, 32, model_ema=False, batch_size=8)
+    moved = len(list((tmp_path / "Empty").glob("*"))) + len(
+        list((tmp_path / "NonEmpty").glob("*"))
+    )
+    assert moved == n
+    assert len(list(src.glob("*"))) == 0  # all files moved out
+
+
+def test_convert_ema_to_model(trained_ckpt):
+    from modelchange import convert_model_ema_to_model
+
+    _, ckpt = trained_ckpt
+    out = convert_model_ema_to_model(ckpt)
+    with open(out, "rb") as f:
+        ck = pickle.load(f)
+    assert "model_ema" not in ck and "optimizer" not in ck
+    assert "model" in ck
+
+
+def test_dynamic_quantize_int8(trained_ckpt):
+    from modelchange import dynamic_quantize_model
+    from val import initialize_model
+
+    _, ckpt = trained_ckpt
+    out = dynamic_quantize_model(ckpt, "int8")
+    with open(out, "rb") as f:
+        ck = pickle.load(f)
+    assert ck["quant_dtype"] == "int8"
+    assert len(ck["quant_scales"]) > 0
+    # quantized kernels are int8
+    some_q = next(iter(ck["quant_scales"]))
+    assert ck["model"][some_q].dtype == np.int8
+
+
+def test_pth2stablehlo_roundtrip(trained_ckpt):
+    from modelchange import load_stablehlo, pth2stablehlo
+    from val import initialize_model, _predict_fn
+    import jax.numpy as jnp
+
+    _, ckpt = trained_ckpt
+    out = pth2stablehlo(ckpt)
+    assert os.path.exists(out)
+    exported = load_stablehlo(out)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    y = exported.call(x)
+    assert np.asarray(y).shape == (1, 3)
+    # numerically matches the live model
+    model, params, batch_stats, _ = initialize_model(ckpt, model_ema=False)
+    import jax
+
+    def fwd(p, bs, xx):
+        v = {"params": p}
+        if bs:
+            v["batch_stats"] = bs
+        return model.apply(v, xx, train=False)
+
+    ref = fwd(params, batch_stats, x)
+    # AOT-compiled artifact vs live jit differ by fusion order — allow small drift
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref, np.float32), rtol=1e-2, atol=1e-3
+    )
