@@ -24,7 +24,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import image as I
-from .randaugment import RandAugmentConfig, parse_policy, rand_augment_batch
+from .abel import AbelAugmentConfig, abel_augment_batch, parse_abel_policy
+from .randaugment import (
+    AutoAugmentConfig,
+    RandAugmentConfig,
+    auto_augment_batch,
+    parse_policy,
+    rand_augment_batch,
+)
 
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
@@ -117,14 +124,22 @@ class AugmentPipeline:
 
     def __init__(self, args):
         self.color_jitter = args.color_jitter
-        self.aa: Optional[RandAugmentConfig] = None
+        self.aa = None
+        self.aa_kind = ""
         self.aa_name = args.aa
-        if args.aa and args.aa.startswith("rand"):
-            self.aa = parse_policy(args.aa)
-        elif args.aa:
-            # 'v0'/'original' AutoAugment policy tables: routed through the
-            # same op set; fall back to RandAugment-equivalent strength.
-            self.aa = RandAugmentConfig(magnitude=9.0, mstd=0.5, increasing=False)
+        if args.aa:
+            if args.aa.startswith("rand"):
+                self.aa = parse_policy(args.aa)
+                self.aa_kind = "rand"
+            elif args.aa.startswith("abel"):
+                # reference AbelAugment (abel_augmentations.py; latent in the
+                # reference, reachable here via --aa abel-nN)
+                self.aa = parse_abel_policy(args.aa)
+                self.aa_kind = "abel"
+            else:
+                # 'v0' / 'original' AutoAugment policy tables
+                self.aa = AutoAugmentConfig(args.aa)
+                self.aa_kind = "auto"
         self.reprob = args.reprob
         self.remode = args.remode
         self.recount = args.recount
@@ -134,8 +149,12 @@ class AugmentPipeline:
         k_flip, k_aa, k_erase = jax.random.split(rng, 3)
         x = images_u8.astype(jnp.float32)
         x = random_flips(x, k_flip, 0.5, 0.5)
-        if self.aa is not None:
+        if self.aa_kind == "rand":
             x = rand_augment_batch(x, k_aa, self.aa)
+        elif self.aa_kind == "abel":
+            x = abel_augment_batch(x, k_aa, self.aa)
+        elif self.aa_kind == "auto":
+            x = auto_augment_batch(x, k_aa, self.aa)
         elif self.color_jitter and self.color_jitter > 0:
             x = color_jitter_batch(x, k_aa, self.color_jitter)
         x = normalize(x / 255.0)

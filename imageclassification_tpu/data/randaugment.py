@@ -225,24 +225,22 @@ def _affine_coeffs(op_idx, m, rng, H, W):
     return cands[sel], sel > 0
 
 
-def rand_augment_image(img, rng, cfg: RandAugmentConfig):
-    """Apply `num_layers` randomly-chosen ops to one image (timm RandAugment:
-    each chosen op applies with prob 0.5; magnitude ~ N(m, mstd) clipped).
+def _apply_op(img, op_idx, m, rng, ops):
+    """Apply op `op_idx` (traced) at magnitude `m` to one image.
 
     Compile-friendly structure: the five geometric ops all route through ONE
     shared `affine_inverse` gather (matrix selected per sample); only the ten
     pixel ops live in the lax.switch. Under vmap the switch lowers to batched
-    ops + selects, so this keeps the graph to ~10 cheap batched pixel ops + one
-    gather per layer instead of five gather branches."""
+    ops + selects, so the graph stays at ~10 cheap batched pixel ops + one
+    gather per application instead of five gather branches."""
     H, W, _ = img.shape
-    pixel_ops = [f for i, f in enumerate(cfg.ops) if i not in _GEOM_INDICES]
+    pixel_ops = [f for i, f in enumerate(ops) if i not in _GEOM_INDICES]
     pixel_branches = [
         (lambda f: (lambda a: f(a[0], a[1], a[2])))(f) for f in pixel_ops
     ]
-    # map full op index → pixel branch index (geometric → 0, unused)
     pixel_index = []
     j = 0
-    for i in range(len(cfg.ops)):
+    for i in range(len(ops)):
         if i in _GEOM_INDICES:
             pixel_index.append(0)
         else:
@@ -250,6 +248,15 @@ def rand_augment_image(img, rng, cfg: RandAugmentConfig):
             j += 1
     pixel_index = jnp.asarray(pixel_index)
 
+    coeffs, is_geom = _affine_coeffs(op_idx, m, rng, H, W)
+    geom_out = I.affine_inverse(img, tuple(coeffs), FILL)
+    pixel_out = jax.lax.switch(pixel_index[op_idx], pixel_branches, (img, m, rng))
+    return jnp.where(is_geom, geom_out, pixel_out)
+
+
+def rand_augment_image(img, rng, cfg: RandAugmentConfig):
+    """Apply `num_layers` randomly-chosen ops to one image (timm RandAugment:
+    each chosen op applies with prob 0.5; magnitude ~ N(m, mstd) clipped)."""
     for layer in range(cfg.num_layers):
         k_op, k_mag, k_apply, k_inner, rng = jax.random.split(rng, 5)
         op_idx = jax.random.randint(k_op, (), 0, len(cfg.ops))
@@ -258,13 +265,7 @@ def rand_augment_image(img, rng, cfg: RandAugmentConfig):
         else:
             m = jnp.asarray(cfg.magnitude, jnp.float32)
         m = jnp.clip(m, 0.0, _LEVEL_DENOM)
-
-        coeffs, is_geom = _affine_coeffs(op_idx, m, k_inner, H, W)
-        geom_out = I.affine_inverse(img, tuple(coeffs), FILL)
-        pixel_out = jax.lax.switch(
-            pixel_index[op_idx], pixel_branches, (img, m, k_inner)
-        )
-        out = jnp.where(is_geom, geom_out, pixel_out)
+        out = _apply_op(img, op_idx, m, k_inner, cfg.ops)
         apply = jax.random.bernoulli(k_apply, cfg.prob)
         img = jnp.where(apply, out, img)
     return img
@@ -274,3 +275,109 @@ def rand_augment_batch(images, rng, cfg: RandAugmentConfig):
     """vmap over the batch with per-sample keys."""
     keys = jax.random.split(rng, images.shape[0])
     return jax.vmap(lambda im, k: rand_augment_image(im, k, cfg))(images, keys)
+
+
+# ---------------------------------------------------------------------------
+# AutoAugment policies ('original'/'v0', reference --aa choices train.py:62)
+# ---------------------------------------------------------------------------
+
+# The AutoAugment ImageNet policy (Cubuk et al. 2019, Table 9): 25 sub-policies
+# of two (op, prob, magnitude) applications; magnitudes on the 0-10 scale with
+# the NON-increasing level maps (_RAND_OPS). Names map into _RAND_OPS indices.
+_AA_ORIGINAL = [
+    (("Posterize", 0.4, 8), ("Rotate", 0.6, 9)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)),
+    (("Equalize", 0.8, 8), ("Equalize", 0.6, 3)),
+    (("Posterize", 0.6, 7), ("Posterize", 0.6, 6)),
+    (("Equalize", 0.4, 7), ("Solarize", 0.2, 4)),
+    (("Equalize", 0.4, 4), ("Rotate", 0.8, 8)),
+    (("Solarize", 0.6, 3), ("Equalize", 0.6, 7)),
+    (("Posterize", 0.8, 5), ("Equalize", 1.0, 2)),
+    (("Rotate", 0.2, 3), ("Solarize", 0.6, 8)),
+    (("Equalize", 0.6, 8), ("Posterize", 0.4, 6)),
+    (("Rotate", 0.8, 8), ("Color", 0.4, 0)),
+    (("Rotate", 0.4, 9), ("Equalize", 0.6, 2)),
+    (("Equalize", 0.0, 7), ("Equalize", 0.8, 8)),
+    (("Invert", 0.6, 4), ("Equalize", 1.0, 8)),
+    (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+    (("Rotate", 0.8, 8), ("Color", 1.0, 2)),
+    (("Color", 0.8, 8), ("Solarize", 0.8, 7)),
+    (("Sharpness", 0.4, 7), ("Invert", 0.6, 8)),
+    (("ShearX", 0.6, 5), ("Equalize", 1.0, 9)),
+    (("Color", 0.4, 0), ("Equalize", 0.6, 3)),
+    (("Equalize", 0.4, 7), ("Solarize", 0.2, 4)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)),
+    (("Invert", 0.6, 4), ("Equalize", 1.0, 8)),
+    (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+    (("Equalize", 0.8, 8), ("Equalize", 0.6, 3)),
+]
+
+# Google policy_v0 (TF AutoAugment reference implementation)
+_AA_V0 = [
+    (("Equalize", 0.8, 1), ("ShearY", 0.8, 4)),
+    (("Color", 0.4, 9), ("Equalize", 0.6, 3)),
+    (("Color", 0.4, 1), ("Rotate", 0.6, 8)),
+    (("Solarize", 0.8, 3), ("Equalize", 0.4, 7)),
+    (("Solarize", 0.4, 2), ("Solarize", 0.6, 2)),
+    (("Color", 0.2, 0), ("Equalize", 0.8, 8)),
+    (("Equalize", 0.4, 8), ("SolarizeAdd", 0.8, 3)),
+    (("ShearX", 0.2, 9), ("Rotate", 0.6, 8)),
+    (("Color", 0.6, 1), ("Equalize", 1.0, 2)),
+    (("Invert", 0.4, 9), ("Rotate", 0.6, 0)),
+    (("Equalize", 1.0, 9), ("ShearY", 0.6, 3)),
+    (("Color", 0.4, 7), ("Equalize", 0.6, 0)),
+    (("Posterize", 0.4, 6), ("AutoContrast", 0.4, 7)),
+    (("Solarize", 0.6, 8), ("Color", 0.6, 9)),
+    (("Solarize", 0.2, 4), ("Rotate", 0.8, 9)),
+    (("Rotate", 1.0, 7), ("TranslateYRel", 0.8, 9)),
+    (("ShearX", 0.0, 0), ("Solarize", 0.8, 4)),
+    (("ShearY", 0.8, 0), ("Color", 0.6, 4)),
+    (("Color", 1.0, 0), ("Rotate", 0.6, 2)),
+    (("Equalize", 0.8, 4), ("Equalize", 0.0, 8)),
+    (("Equalize", 1.0, 4), ("AutoContrast", 0.6, 2)),
+    (("ShearY", 0.4, 7), ("SolarizeAdd", 0.6, 7)),
+    (("Posterize", 0.8, 2), ("Solarize", 0.6, 10)),
+    (("Solarize", 0.6, 8), ("Equalize", 0.6, 1)),
+    (("Color", 0.8, 6), ("Rotate", 0.4, 5)),
+]
+
+_OP_NAME_TO_INDEX = {
+    "AutoContrast": 0, "Equalize": 1, "Invert": 2, "Rotate": 3, "Posterize": 4,
+    "Solarize": 5, "SolarizeAdd": 6, "Color": 7, "Contrast": 8,
+    "Brightness": 9, "Sharpness": 10, "ShearX": 11, "ShearY": 12,
+    "TranslateXRel": 13, "TranslateYRel": 14,
+}
+
+
+class AutoAugmentConfig:
+    def __init__(self, policy: str = "original"):
+        import numpy as _np
+
+        table = _AA_ORIGINAL if policy != "v0" else _AA_V0
+        self.ops = _RAND_OPS
+        self.op_idx = _np.array(
+            [[_OP_NAME_TO_INDEX[a[0]], _OP_NAME_TO_INDEX[b[0]]] for a, b in table]
+        )
+        self.probs = _np.array([[a[1], b[1]] for a, b in table], _np.float32)
+        self.mags = _np.array([[a[2], b[2]] for a, b in table], _np.float32)
+
+
+def auto_augment_image(img, rng, cfg: AutoAugmentConfig):
+    """One uniformly-chosen sub-policy; each slot applies with its prob."""
+    op_idx = jnp.asarray(cfg.op_idx)
+    probs = jnp.asarray(cfg.probs)
+    mags = jnp.asarray(cfg.mags)
+    k_sp, rng = jax.random.split(rng)
+    sp = jax.random.randint(k_sp, (), 0, op_idx.shape[0])
+    for slot in range(op_idx.shape[1]):
+        k_apply, k_inner, rng = jax.random.split(rng, 3)
+        out = _apply_op(img, op_idx[sp, slot], mags[sp, slot], k_inner, cfg.ops)
+        img = jnp.where(
+            jax.random.bernoulli(k_apply, probs[sp, slot]), out, img
+        )
+    return img
+
+
+def auto_augment_batch(images, rng, cfg: AutoAugmentConfig):
+    keys = jax.random.split(rng, images.shape[0])
+    return jax.vmap(lambda im, k: auto_augment_image(im, k, cfg))(images, keys)

@@ -209,3 +209,64 @@ def test_full_pipeline_shapes_and_dtype():
     assert bool(jnp.isfinite(out).all())
     ev = eval_preprocess(x)
     assert ev.shape == out.shape
+
+
+def test_abel_augment_policy():
+    from imageclassification_tpu.data.abel import (
+        AbelAugmentConfig,
+        abel_augment_batch,
+        anti_solarize,
+        set_dark_pixels_to_zero,
+    )
+
+    img = jnp.asarray(np.random.default_rng(1).integers(0, 255, (16, 16, 3)),
+                      jnp.float32)
+    # dark-to-zero: pixels below threshold become 0
+    out = set_dark_pixels_to_zero(img, 50.0)
+    assert float(out[img < 50].max(initial=0.0)) == 0.0
+    assert bool(jnp.all(out[img >= 50] == img[img >= 50]))
+    # anti-solarize inverts pixels <= threshold
+    out = anti_solarize(img, 100.0)
+    assert bool(jnp.all(out[img > 100] == img[img > 100]))
+    assert bool(jnp.all(out[img <= 100] == 255.0 - img[img <= 100]))
+
+    batch = jnp.broadcast_to(img, (4, 16, 16, 3))
+    out = abel_augment_batch(batch, jax.random.key(0), AbelAugmentConfig(2))
+    assert out.shape == batch.shape and bool(jnp.isfinite(out).all())
+
+
+def test_auto_augment_policies():
+    from imageclassification_tpu.data.randaugment import (
+        AutoAugmentConfig,
+        auto_augment_batch,
+    )
+
+    x = jnp.asarray(np.random.default_rng(2).integers(0, 255, (4, 16, 16, 3)),
+                    jnp.float32)
+    for policy in ("original", "v0"):
+        cfg = AutoAugmentConfig(policy)
+        assert cfg.op_idx.shape == (25, 2)
+        out = auto_augment_batch(x, jax.random.key(1), cfg)
+        assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+def test_pipeline_abel_and_auto_policies():
+    for aa in ("abel-n2", "original", "v0"):
+        cfg = TrainConfig(aa=aa, reprob=0.0)
+        pipe = AugmentPipeline(cfg)
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (2, 24, 24, 3)), jnp.uint8)
+        out = jax.jit(pipe)(x, jax.random.key(0))
+        assert out.shape == (2, 24, 24, 3)
+        assert bool(jnp.isfinite(out).all())
+
+
+def test_lighting_pca():
+    from imageclassification_tpu.data.abel import lighting
+
+    img = jnp.full((8, 8, 3), 100.0)
+    out = lighting(img, jax.random.key(3), alphastd=0.1)
+    assert out.shape == img.shape
+    # noise is per-channel constant
+    assert float(jnp.std(out[..., 0])) < 1e-5
+    assert float(jnp.abs(out - img).max()) > 0
