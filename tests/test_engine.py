@@ -1,0 +1,135 @@
+"""Engine-step semantics (reference engine.py behaviors SURVEY flags as
+load-bearing: update_freq cadence, EMA only on real steps, non-finite skip,
+schedule gathers, per-class counts)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imageclassification_tpu.config import TrainConfig
+from imageclassification_tpu.data.mixup import build_mixup
+from imageclassification_tpu.engine.state import create_train_state
+from imageclassification_tpu.engine.step import (
+    _per_class_counts,
+    build_eval_step,
+    build_train_step,
+)
+from imageclassification_tpu.models import create_model
+from imageclassification_tpu.optim.factory import create_optimizer
+
+
+def _setup(update_freq=1, model_ema=False, mixup=0.0, num_classes=3, lr=0.1):
+    cfg = TrainConfig(
+        model="resnet18", input_size=16, batch_size=4, update_freq=update_freq,
+        model_ema=model_ema, mixup=mixup, cutmix=0.0, smoothing=0.0,
+        reprob=0.0, color_jitter=0.0, aa="", half_precision=False, lr=lr,
+    )
+    model = create_model("resnet18", num_classes=num_classes)
+    tx = create_optimizer("sgd", lr, 0.0)
+    state = create_train_state(
+        model, tx, jax.random.key(0), (1, 16, 16, 3),
+        use_ema=model_ema, update_freq=update_freq,
+    )
+    mix = build_mixup(cfg, num_classes)
+    lr_s = np.full(64, lr, np.float32)
+    wd_s = np.zeros(64, np.float32)
+    step = jax.jit(
+        build_train_step(model, tx, cfg, num_classes, mix, lr_s, wd_s),
+        donate_argnums=(0,),
+    )
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (4, 16, 16, 3)), jnp.uint8
+        ),
+        "label": jnp.asarray([0, 1, 2, 0], jnp.int32),
+    }
+    return state, step, batch
+
+
+def _params_equal(a, b):
+    return all(
+        bool(jnp.all(x == y)) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_per_class_counts():
+    preds = jnp.array([0, 0, 1, 2])
+    labels = jnp.array([0, 1, 1, 0])
+    tp, fp, fn = _per_class_counts(preds, labels, 3)
+    np.testing.assert_array_equal(np.asarray(tp), [1, 1, 0])
+    np.testing.assert_array_equal(np.asarray(fp), [1, 0, 1])
+    np.testing.assert_array_equal(np.asarray(fn), [1, 1, 0])
+
+
+def test_update_freq_accumulation_cadence():
+    """With update_freq=2, params change only on every second micro-step
+    (reference engine.py:63-77)."""
+    state, step, batch = _setup(update_freq=2)
+    p0 = jax.device_get(state.params)
+    state, m = step(state, batch, jax.random.key(1))
+    p1 = jax.device_get(state.params)
+    assert _params_equal(p0, p1), "params must not move on micro-step 1"
+    state, m = step(state, batch, jax.random.key(1))
+    p2 = jax.device_get(state.params)
+    assert not _params_equal(p1, p2), "params must move on the boundary step"
+    # accum buffer resets after the boundary
+    assert float(max(jnp.abs(l).max() for l in jax.tree.leaves(state.grad_accum))) == 0.0
+
+
+def test_ema_updates_only_on_real_steps():
+    state, step, batch = _setup(update_freq=2, model_ema=True)
+    e0 = jax.device_get(state.ema_params)
+    state, _ = step(state, batch, jax.random.key(1))
+    e1 = jax.device_get(state.ema_params)
+    assert _params_equal(e0, e1), "EMA must not advance mid-accumulation"
+    state, _ = step(state, batch, jax.random.key(1))
+    e2 = jax.device_get(state.ema_params)
+    assert not _params_equal(e1, e2), "EMA advances with the optimizer step"
+
+
+def test_nonfinite_loss_skips_update():
+    """A non-finite loss zeroes the step (reference engine.py:56-59)."""
+    state, step, batch = _setup()
+    p0 = jax.device_get(state.params)
+    bad = dict(batch)
+    bad["image"] = jnp.full_like(batch["image"], 255)
+    # poison the params to force a nan loss
+    poisoned = state.replace(
+        params=jax.tree.map(lambda p: p * jnp.nan, state.params)
+    )
+    poisoned, m = step(poisoned, bad, jax.random.key(1))
+    assert float(m["skipped"]) == 1.0
+    # grad_norm of a skipped step is 0 (grads zeroed)
+    assert float(m["grad_norm"]) == 0.0
+
+
+def test_schedule_values_reported():
+    state, step, batch = _setup(lr=0.25)
+    state, m = step(state, batch, jax.random.key(1))
+    assert abs(float(m["lr"]) - 0.25) < 1e-6
+    assert float(m["weight_decay"]) == 0.0
+
+
+def test_mixup_second_forward_accuracy_uses_hard_labels():
+    state, step, batch = _setup(mixup=1.0)
+    state, m = step(state, batch, jax.random.key(1))
+    # class_acc computed against original int labels → in [0,1]
+    assert 0.0 <= float(m["class_acc"]) <= 1.0
+    assert np.asarray(m["tp"]).sum() + np.asarray(m["fn"]).sum() == 4  # one per sample
+
+
+def test_eval_step_masks_padding():
+    model = create_model("resnet18", num_classes=3)
+    tx = create_optimizer("sgd", 0.1, 0.0)
+    state = create_train_state(model, tx, jax.random.key(0), (1, 16, 16, 3))
+    eval_step = jax.jit(build_eval_step(model, 3))
+    batch = {
+        "image": jnp.zeros((4, 16, 16, 3), jnp.uint8),
+        "label": jnp.asarray([0, 1, -1, -1], jnp.int32),
+    }
+    out = eval_step(state.params, state.batch_stats, batch)
+    assert float(out["n"]) == 2.0
+    assert float(out["tp"].sum() + out["fp"].sum()) == 2.0
+    assert float(out["top1_sum"]) <= 2.0
