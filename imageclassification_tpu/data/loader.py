@@ -79,7 +79,14 @@ def decode_image(
 
     train=True: RandomResizedCrop geometry + bicubic (reference train path).
     train=False: squash resize + bilinear (reference eval path, datasets.py:141).
-    """
+
+    JPEGs route through the native C++ decoder (GIL-free libjpeg + PIL-exact
+    separable resample, native/decode.cpp) when it built; everything else (and
+    any native failure) uses PIL."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        out = _decode_native(path, size, train, seed, scale, ratio)
+        if out is not None:
+            return out
     with Image.open(path) as img:
         img = img.convert("RGB")
         if train:
@@ -89,6 +96,26 @@ def decode_image(
         else:
             img = img.resize((size, size), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
+
+
+def _decode_native(path, size, train, seed, scale, ratio):
+    from . import native_decode as nd
+
+    if nd.get_lib() is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    dims = nd.jpeg_dims(data)
+    if dims is None:
+        return None
+    w, h = dims
+    if train:
+        i, j, th, tw = _rrc_params(w, h, scale, ratio, _rng(seed))
+        return nd.decode_crop_resize(data, (j, i, tw, th), size, nd.BICUBIC)
+    return nd.decode_crop_resize(data, (0, 0, -1, -1), size, nd.BILINEAR)
 
 
 class DeviceLoader:
