@@ -108,10 +108,11 @@ class ConvNeXt(nn.Module):
 
 def _make(depths, dims):
     def ctor(num_classes=1000, drop_path_rate=0.0, dtype=jnp.float32,
-             features_only=False, **kw):
+             features_only=False, out_indices=(0, 1, 2, 3), **kw):
         return ConvNeXt(depths=depths, dims=dims, num_classes=num_classes,
                         drop_path_rate=drop_path_rate, dtype=dtype,
-                        features_only=features_only)
+                        features_only=features_only,
+                        out_indices=tuple(out_indices))
     return ctor
 
 
