@@ -168,7 +168,10 @@ def build_train_step(
         )
 
         # ---- metrics (device side, reference engine.py:82-97) ----
-        if mixup_cfg is not None:
+        if mixup_cfg is not None and getattr(args, "train_acc_mode", "exact") == "mixed":
+            # free approximation: mixed-batch logits vs hard labels
+            acc_logits = logits
+        elif mixup_cfg is not None:
             # second forward on the un-mixed (but augmented) batch; BN uses
             # batch statistics (torch train-mode forward) but stats are
             # discarded

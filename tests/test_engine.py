@@ -133,3 +133,33 @@ def test_eval_step_masks_padding():
     assert float(out["n"]) == 2.0
     assert float(out["tp"].sum() + out["fp"].sum()) == 2.0
     assert float(out["top1_sum"]) <= 2.0
+
+
+def test_train_acc_mode_mixed_skips_second_forward():
+    """'mixed' mode reads acc from the mixed logits — still bounded/finite."""
+    import numpy as np
+    from imageclassification_tpu.config import TrainConfig
+    from imageclassification_tpu.data.mixup import build_mixup
+    from imageclassification_tpu.models import create_model
+    from imageclassification_tpu.optim.factory import create_optimizer
+    from imageclassification_tpu.engine.state import create_train_state
+    from imageclassification_tpu.engine.step import build_train_step
+
+    cfg = TrainConfig(
+        model="resnet18", input_size=16, batch_size=4, mixup=1.0,
+        smoothing=0.1, reprob=0.0, color_jitter=0.0, aa="",
+        half_precision=False, train_acc_mode="mixed",
+    )
+    model = create_model("resnet18", num_classes=3)
+    tx = create_optimizer("sgd", 0.1, 0.0)
+    state = create_train_state(model, tx, jax.random.key(0), (1, 16, 16, 3))
+    mix = build_mixup(cfg, 3)
+    lr_s = np.full(8, 0.1, np.float32)
+    step = jax.jit(build_train_step(model, tx, cfg, 3, mix, lr_s, lr_s),
+                   donate_argnums=(0,))
+    batch = {
+        "image": jnp.zeros((4, 16, 16, 3), jnp.uint8),
+        "label": jnp.asarray([0, 1, 2, 0], jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert 0.0 <= float(m["class_acc"]) <= 1.0
