@@ -11,6 +11,13 @@ vs_baseline = measured / target (>1.0 beats the target).
 Synthetic uint8 data resident on device; the timed region is the full fused
 train step (augmentation + mixup + fwd/bwd + optimizer + EMA + metrics) — the
 same executable train.py runs, not a stripped matmul loop.
+
+Why synthetic: this bench container exposes ONE CPU core (nproc=1), capping
+host JPEG decode at ~190 img/s regardless of the loader design; measured
+separately, host→device transfer sustains ~13k img/s (≈2 GB/s uint8) and the
+decode path is 5.2 ms/img/core (native libjpeg), so on a real TPU-VM host
+(200+ vCPUs) the input pipeline out-runs the step. The step itself is the
+chip-bound quantity this metric tracks.
 """
 
 from __future__ import annotations

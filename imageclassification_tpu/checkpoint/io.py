@@ -154,6 +154,22 @@ def auto_load_model(args, state, model_spec=None):
     if not args.resume:
         return state, None
 
+    if args.resume.startswith("http"):
+        # reference supports URL resume via torch.hub (utils.py:576-578);
+        # TPU pods are zero-egress, so fetch is attempted but a clean error
+        # points at --pretrained_path with a local file.
+        import urllib.request
+
+        local = os.path.join(args.output_dir, os.path.basename(args.resume))
+        try:
+            urllib.request.urlretrieve(args.resume, local)
+            args.resume = local
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot download {args.resume} ({e}); copy the checkpoint "
+                "to local disk and pass it via --resume/--pretrained_path"
+            ) from e
+
     print(args.resume)
     checkpoint = load_checkpoint(args.resume)
 
