@@ -1,0 +1,83 @@
+"""Two-process jax.distributed smoke test (reference C20/C21: the torchrun
+RANK/WORLD_SIZE convention + DDP semantics, exercised for real via
+subprocesses on the CPU backend)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.environ["REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from imageclassification_tpu.config import TrainConfig
+from imageclassification_tpu.parallel import (
+    init_distributed_mode, make_mesh, make_global_batch, get_rank, get_world_size,
+)
+from imageclassification_tpu.utils.metrics import SmoothedValue
+
+args = TrainConfig()
+init_distributed_mode(args)
+assert args.distributed and args.world_size == 2, (args.distributed, args.world_size)
+
+mesh = make_mesh("")
+assert mesh.shape["data"] == 4  # 2 procs x 2 local devices
+
+rank = get_rank()
+local = {
+    "image": np.full((4, 2, 2, 3), rank, np.uint8),
+    "label": np.full((4,), rank, np.int32),
+}
+batch = make_global_batch(mesh, local)
+assert batch["label"].shape == (8,)
+
+# global reduction: sum of labels = 4*0 + 4*1 = 4 on every process
+import jax.numpy as jnp
+total = jax.jit(lambda x: jnp.sum(x))(batch["label"])
+assert int(total) == 4, int(total)
+
+# metric sync (reference utils.py:80-88 all_reduce equivalent)
+v = SmoothedValue()
+v.update(float(rank + 1), n=2)  # rank0: 1.0x2, rank1: 2.0x2
+v.synchronize_between_processes()
+assert v.count == 4 and abs(v.global_avg - 1.5) < 1e-9, (v.count, v.global_avg)
+
+# rank-0 print gating is active after init_distributed_mode (utils.py:288-300
+# semantics) — force=True bypasses it, which this also regression-tests
+print(f"RANK{rank} OK", flush=True, force=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(
+            RANK=str(rank),
+            WORLD_SIZE="2",
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT="29876",
+            REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        env.pop("PYTHONPATH", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank} OK" in out
