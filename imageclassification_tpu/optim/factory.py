@@ -226,11 +226,17 @@ def create_optimizer(
 
 def set_hyperparams(opt_state, lr, wd):
     """Write per-step schedule values into the optimizer state (the jit-step
-    replacement for the reference's param_group mutation, engine.py:33-38)."""
-    hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    hp["weight_decay"] = jnp.asarray(wd, jnp.float32)
-    return opt_state._replace(hyperparams=hp)
+    replacement for the reference's param_group mutation, engine.py:33-38).
+    Recurses through wrapper states (e.g. lookahead) to reach the
+    InjectHyperparamsState."""
+    if hasattr(opt_state, "hyperparams"):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        hp["weight_decay"] = jnp.asarray(wd, jnp.float32)
+        return opt_state._replace(hyperparams=hp)
+    if hasattr(opt_state, "inner"):
+        return opt_state._replace(inner=set_hyperparams(opt_state.inner, lr, wd))
+    raise TypeError(f"cannot inject hyperparams into {type(opt_state).__name__}")
 
 
 def uses_lookahead(opt: str) -> bool:

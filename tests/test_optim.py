@@ -107,3 +107,15 @@ def test_inside_jit():
     p1, state = step(params, state, jnp.asarray(1e-3))
     p2, state = step(p1, state, jnp.asarray(1e-4))
     assert jnp.isfinite(p2["dense"]["kernel"]).all()
+
+
+def test_set_hyperparams_through_lookahead():
+    from imageclassification_tpu.optim.factory import set_hyperparams
+
+    params = _toy_params()
+    tx = create_optimizer("lookahead_sgd", lr=1.0, weight_decay=0.0)
+    state = tx.init(params)
+    state = set_hyperparams(state, 0.5, 0.0)
+    up, _ = tx.update(_toy_grads(params), state, params)
+    # nesterov sgd first step: update = -lr * (g + m*g) = -0.5 * 1.9 * 0.1
+    np.testing.assert_allclose(np.asarray(up["dense"]["kernel"]), -0.095, rtol=1e-6)
