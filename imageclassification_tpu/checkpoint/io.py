@@ -90,6 +90,8 @@ def save_model(
     }
     if state.ema_params is not None:
         to_save["model_ema"] = _flatten(state.ema_params)
+        if state.ema_batch_stats is not None:
+            to_save["model_ema_batch_stats"] = _flatten(state.ema_batch_stats)
 
     if is_main_process():
         tmp = str(checkpoint_path) + ".tmp"
@@ -190,12 +192,22 @@ def auto_load_model(args, state, model_spec=None):
                 state.ema_params, checkpoint["model_ema"], verbose=False
             )
             state = state.replace(ema_params=ema)
+            if state.ema_batch_stats is not None and checkpoint.get("model_ema_batch_stats"):
+                ebs, _ = load_params_with_pruning(
+                    state.ema_batch_stats,
+                    checkpoint["model_ema_batch_stats"], verbose=False,
+                )
+                state = state.replace(ema_batch_stats=ebs)
         else:
             # re-seed EMA from the (possibly pruned-loaded) model; real copy —
             # aliased buffers would break train-state donation
             state = state.replace(
                 ema_params=jax.tree.map(jax.numpy.copy, state.params)
             )
+            if state.ema_batch_stats is not None:
+                state = state.replace(
+                    ema_batch_stats=jax.tree.map(jax.numpy.copy, state.batch_stats)
+                )
 
     if "optimizer" in checkpoint and "epoch" in checkpoint and missing_nums == 0:
         opt, _ = load_params_with_pruning(

@@ -24,6 +24,7 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any                  # {} for BN-free models
     opt_state: Any
     ema_params: Optional[Any] = None
+    ema_batch_stats: Optional[Any] = None  # timm ModelEmaV3 EMAs BN buffers too
     grad_accum: Optional[Any] = None  # populated when update_freq > 1
 
     @property
@@ -50,6 +51,7 @@ def create_train_state(
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
     ema_params = init_ema(params) if use_ema else None
+    ema_batch_stats = init_ema(batch_stats) if (use_ema and batch_stats) else None
     grad_accum = (
         jax.tree.map(jnp.zeros_like, params) if update_freq > 1 else None
     )
@@ -59,6 +61,7 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=opt_state,
         ema_params=ema_params,
+        ema_batch_stats=ema_batch_stats,
         grad_accum=grad_accum,
     )
 

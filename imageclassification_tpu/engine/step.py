@@ -151,20 +151,25 @@ def build_train_step(
         do_update = boundary & finite
 
         def apply_fn(operand):
-            params, opt_state, accum, ema = operand
+            params, opt_state, accum, ema, ema_bs = operand
             updates, new_opt = tx.update(accum, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             if use_ema:
+                # timm ModelEmaV3 EMAs the full state_dict — params AND BN
+                # running statistics (train.py:201 + timm semantics)
                 ema = ema_update(ema, new_params, ema_decay)
-            return new_params, new_opt, jax.tree.map(jnp.zeros_like, accum), ema
+                if ema_bs is not None:
+                    ema_bs = ema_update(ema_bs, new_stats, ema_decay)
+            return (new_params, new_opt,
+                    jax.tree.map(jnp.zeros_like, accum), ema, ema_bs)
 
         def skip_fn(operand):
-            params, opt_state, accum, ema = operand
-            return params, opt_state, accum, ema
+            return operand
 
-        new_params, new_opt, new_accum, new_ema = jax.lax.cond(
+        new_params, new_opt, new_accum, new_ema, new_ema_bs = jax.lax.cond(
             do_update, apply_fn, skip_fn,
-            (state.params, opt_state, accum, state.ema_params),
+            (state.params, opt_state, accum, state.ema_params,
+             state.ema_batch_stats),
         )
 
         # ---- metrics (device side, reference engine.py:82-97) ----
@@ -209,6 +214,7 @@ def build_train_step(
             batch_stats=new_stats,
             opt_state=new_opt,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
             grad_accum=new_accum if update_freq > 1 else None,
         )
         return new_state, metrics

@@ -163,3 +163,14 @@ def test_train_acc_mode_mixed_skips_second_forward():
     }
     state, m = step(state, batch, jax.random.key(1))
     assert 0.0 <= float(m["class_acc"]) <= 1.0
+
+
+def test_ema_batch_stats_tracked():
+    """timm ModelEmaV3 EMAs BN running statistics too — verify ema_batch_stats
+    advances with the optimizer step and differs from live stats."""
+    state, step, batch = _setup(model_ema=True)
+    assert state.ema_batch_stats is not None
+    s0 = jax.device_get(state.ema_batch_stats)
+    state, _ = step(state, batch, jax.random.key(1))
+    s1 = jax.device_get(state.ema_batch_stats)
+    assert not _params_equal(s0, s1)

@@ -203,11 +203,18 @@ def main(args: TrainConfig):
     def ema_as_params(st):
         return st.ema_params if st.ema_params is not None else st.params
 
+    def ema_as_stats(st):
+        return st.ema_batch_stats if st.ema_batch_stats is not None else st.batch_stats
+
     if args.eval:
         print("Eval only mode")
         loader = make_val_loader()
-        p = ema_as_params(state) if args.model_ema else state.params
-        test_stats = evaluate(eval_step, p, state.batch_stats, loader, num_classes)
+        if args.model_ema:
+            test_stats = evaluate(eval_step, ema_as_params(state),
+                                  ema_as_stats(state), loader, num_classes)
+        else:
+            test_stats = evaluate(eval_step, state.params, state.batch_stats,
+                                  loader, num_classes)
         print(
             f"Accuracy of the network on {len(dataset_val)} test images: "
             f"{test_stats['acc1']:.5f}%"
@@ -288,7 +295,7 @@ def main(args: TrainConfig):
         if args.model_ema:
             val_loader = make_val_loader()
             test_stats_ema = evaluate(
-                eval_step, ema_as_params(state), state.batch_stats,
+                eval_step, ema_as_params(state), ema_as_stats(state),
                 val_loader, num_classes,
             )
             print(

@@ -68,9 +68,12 @@ def initialize_model(model_weight_path: str, model_ema: bool, half_precision=Tru
             template["params"], checkpoint["model"], verbose=False
         )
     batch_stats = template.get("batch_stats", {})
-    if batch_stats and checkpoint.get("batch_stats"):
+    stats_src = checkpoint.get("batch_stats")
+    if model_ema and checkpoint.get("model_ema_batch_stats"):
+        stats_src = checkpoint["model_ema_batch_stats"]
+    if batch_stats and stats_src:
         batch_stats, _ = load_params_with_pruning(
-            batch_stats, checkpoint["batch_stats"], verbose=False
+            batch_stats, stats_src, verbose=False
         )
     return model, params, batch_stats, num_classes
 
