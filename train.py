@@ -225,7 +225,11 @@ def main(args: TrainConfig):
     max_accuracy_ema = 0.0
 
     if args.profile_dir and global_rank == 0:
-        jax.profiler.start_trace(args.profile_dir)
+        try:
+            jax.profiler.start_trace(args.profile_dir)
+        except Exception as e:  # tunneled backends may not support tracing
+            print(f"profiler unavailable: {e}")
+            args = args.replace(profile_dir="")
 
     print("Start training for %d epochs" % args.epochs)
     start_time = time.time()
@@ -328,6 +332,7 @@ def main(args: TrainConfig):
 
     if args.profile_dir and global_rank == 0:
         jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}")
 
     if wandb_logger and args.wandb_ckpt and args.save_ckpt:
         wandb_logger.log_checkpoints()
