@@ -31,15 +31,12 @@ from PIL import Image
 
 from ..parallel.mesh import make_global_batch
 
-_thread_local = threading.local()
-
-
 def _rng(seed: int) -> np.random.Generator:
-    rng = getattr(_thread_local, "rng", None)
-    if rng is None:
-        ident = threading.get_ident() & 0xFFFF
-        rng = _thread_local.rng = np.random.default_rng(seed + ident)
-    return rng
+    """Per-sample deterministic generator: the reference's DataLoader workers
+    draw from per-worker torch RNG (not reproducible across worker counts);
+    here crop geometry is a pure function of (seed, sample), so runs are
+    bit-reproducible regardless of thread scheduling."""
+    return np.random.default_rng(seed)
 
 
 def _rrc_params(w, h, scale, ratio, rng):
@@ -159,7 +156,8 @@ class DeviceLoader:
             return np.zeros((s, s, 3), dtype=np.uint8), -1
         path, label = self.dataset.samples[idx]
         img = decode_image(
-            path, self.image_size, self.train, self.seed, self.scale, self.ratio
+            path, self.image_size, self.train,
+            (self.seed << 20) ^ (idx + 1), self.scale, self.ratio,
         )
         return img, label
 

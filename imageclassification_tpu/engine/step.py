@@ -101,6 +101,13 @@ def build_train_step(
             ).mean()
         return loss, (new_stats, logits)
 
+    if getattr(args, "remat", False):
+        # rematerialize the forward during backward — activations are not
+        # kept, trading ~1 extra forward for O(depth) less HBM (SURVEY
+        # 'HBM bandwidth' guidance; lets ViT-L/ConvNeXt-XL take larger
+        # per-chip batches)
+        loss_fn = jax.checkpoint(loss_fn)
+
     def train_step(state: TrainState, batch, rng):
         step = state.step
         rng = jax.random.fold_in(rng, step)

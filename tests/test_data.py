@@ -107,3 +107,23 @@ def test_eval_batches_pad_last():
     batches = eval_batches(10, 4)
     assert len(batches) == 3
     assert list(batches[-1]) == [8, 9, -1, -1]
+
+
+def test_loader_deterministic_across_runs(toy_dataset):
+    import jax
+    from imageclassification_tpu.data.loader import DeviceLoader
+    from imageclassification_tpu.parallel import make_mesh
+
+    ds = scan_folder(toy_dataset)
+    mesh = make_mesh("")
+    idx = epoch_batch_indices(len(ds), 8, epoch=0, seed=5)
+
+    def collect():
+        loader = DeviceLoader(ds, mesh, idx[:2], 32, train=True, seed=7,
+                              num_workers=4)
+        return [np.asarray(b["image"]) for b in loader]
+
+    a = collect()
+    b = collect()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

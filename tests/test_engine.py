@@ -174,3 +174,36 @@ def test_ema_batch_stats_tracked():
     state, _ = step(state, batch, jax.random.key(1))
     s1 = jax.device_get(state.ema_batch_stats)
     assert not _params_equal(s0, s1)
+
+
+def test_remat_flag_matches_no_remat():
+    """jax.checkpoint changes memory, not math: losses must match exactly."""
+    import numpy as np
+    from imageclassification_tpu.config import TrainConfig
+    from imageclassification_tpu.models import create_model
+    from imageclassification_tpu.optim.factory import create_optimizer
+    from imageclassification_tpu.engine.state import create_train_state
+    from imageclassification_tpu.engine.step import build_train_step
+
+    lr_s = np.full(8, 0.1, np.float32)
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (4, 16, 16, 3)), jnp.uint8
+        ),
+        "label": jnp.asarray([0, 1, 2, 0], jnp.int32),
+    }
+    losses = []
+    for remat in (False, True):
+        cfg = TrainConfig(model="resnet18", input_size=16, batch_size=4,
+                          mixup=0.0, cutmix=0.0, smoothing=0.0, reprob=0.0,
+                          color_jitter=0.0, aa="", half_precision=False,
+                          remat=remat)
+        model = create_model("resnet18", num_classes=3)
+        tx = create_optimizer("sgd", 0.1, 0.0)
+        state = create_train_state(model, tx, jax.random.key(0), (1, 16, 16, 3))
+        step = jax.jit(build_train_step(model, tx, cfg, 3, None, lr_s, lr_s),
+                       donate_argnums=(0,))
+        state, m = step(state, batch, jax.random.key(1))
+        state, m = step(state, batch, jax.random.key(1))
+        losses.append(float(m["loss"]))
+    assert abs(losses[0] - losses[1]) < 1e-5, losses
