@@ -1,1 +1,7 @@
-from .io import save_model, auto_load_model, load_checkpoint, load_params_with_pruning
+from .io import (
+    save_model,
+    auto_load_model,
+    load_checkpoint,
+    load_params_with_pruning,
+    wait_for_pending_saves,
+)

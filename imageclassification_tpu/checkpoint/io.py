@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -94,20 +95,40 @@ def save_model(
             to_save["model_ema_batch_stats"] = _flatten(state.ema_batch_stats)
 
     if is_main_process():
-        tmp = str(checkpoint_path) + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(to_save, f, protocol=pickle.HIGHEST_PROTOCOL)
-        os.replace(tmp, checkpoint_path)
+        # device→host snapshot happened above (donation invalidates the live
+        # buffers at the next step, so _flatten must be synchronous); only the
+        # serialize+write goes to a background thread so training resumes
+        # immediately
+        def _write():
+            tmp = str(checkpoint_path) + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(to_save, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, checkpoint_path)
+            # rolling retention (reference utils.py:554-558)
+            if isinstance(epoch, int):
+                to_del = epoch - args.save_ckpt_num * args.save_ckpt_freq
+                old_ckpt = output_dir / f"checkpoint-{to_del}.pth"
+                if old_ckpt.exists():
+                    os.remove(old_ckpt)
 
-        # rolling retention (reference utils.py:554-558)
-        if isinstance(epoch, int):
-            to_del = epoch - args.save_ckpt_num * args.save_ckpt_freq
-            old_ckpt = output_dir / f"checkpoint-{to_del}.pth"
-            if old_ckpt.exists():
-                os.remove(old_ckpt)
+        wait_for_pending_saves()
+        t = threading.Thread(target=_write, daemon=True)
+        t.start()
+        _PENDING_SAVES.append(t)
+
+
+_PENDING_SAVES: list = []
+
+
+def wait_for_pending_saves() -> None:
+    """Join outstanding async checkpoint writes (called before reads and at
+    the start of each save so at most one write is in flight)."""
+    while _PENDING_SAVES:
+        _PENDING_SAVES.pop().join()
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    wait_for_pending_saves()
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -132,6 +153,7 @@ def load_params_with_pruning(
 
 def find_latest_checkpoint(output_dir: str) -> Optional[str]:
     """Max numeric epoch among checkpoint-*.pth (reference utils.py:563-573)."""
+    wait_for_pending_saves()
     all_checkpoints = glob.glob(os.path.join(output_dir, "checkpoint-*.pth"))
     latest = -1
     for ckpt in all_checkpoints:

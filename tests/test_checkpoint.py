@@ -16,6 +16,7 @@ from imageclassification_tpu.checkpoint.io import (
     find_latest_checkpoint,
     load_params_with_pruning,
     save_model,
+    wait_for_pending_saves,
 )
 from imageclassification_tpu.config import TrainConfig
 from imageclassification_tpu.engine.state import TrainState
@@ -60,12 +61,14 @@ def test_save_find_latest_and_rolling_retention(tmp_path):
     spec = {"name": "resnet18", "kwargs": {}}
     for epoch in range(5):
         save_model(cfg, [1, 16, 16, 3], epoch, state, 3, spec)
+    wait_for_pending_saves()  # saves are async (write thread)
     # retention: epoch - 2*1 deleted → only the last 3 remain (plus none older)
     remaining = sorted(os.listdir(tmp_path))
     assert "checkpoint-4.pth" in remaining and "checkpoint-0.pth" not in remaining
     assert find_latest_checkpoint(str(tmp_path)).endswith("checkpoint-4.pth")
     # 'best' never deleted and never chosen by auto-resume
     save_model(cfg, [1, 16, 16, 3], "best", state, 3, spec)
+    wait_for_pending_saves()
     assert find_latest_checkpoint(str(tmp_path)).endswith("checkpoint-4.pth")
 
 

@@ -337,6 +337,7 @@ def main(args: TrainConfig):
     if wandb_logger and args.wandb_ckpt and args.save_ckpt:
         wandb_logger.log_checkpoints()
 
+    ckpt_io.wait_for_pending_saves()
     total_time = time.time() - start_time
     total_time_str = str(datetime.timedelta(seconds=int(total_time)))
     print("Training time {}".format(total_time_str))
