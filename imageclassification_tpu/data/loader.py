@@ -21,10 +21,9 @@ transfer of batch k+1, and device compute of batch k.
 from __future__ import annotations
 
 import math
-import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 from PIL import Image

@@ -18,7 +18,7 @@ Everything is branch-free jnp (where/select) so it fuses into the train step.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,7 @@ img_mean hparams included); ops run on float [0,255] images via ops.image.
 from __future__ import annotations
 
 import re
-from functools import partial
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Segmentation (semantic_segmentation/configs/convnext/*.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 

@@ -10,12 +10,12 @@ logging, letting the next step overlap with metric readback.
 from __future__ import annotations
 
 import time
-from typing import Iterable, Optional
+from typing import Iterable
 
 import jax
 import numpy as np
 
-from ..utils.metrics import MetricLogger, SmoothedValue
+from ..utils.metrics import MetricLogger
 
 
 def _progress(total, epoch):

@@ -22,8 +22,7 @@ DDP backward hook (train.py:219) has no hand-written equivalent here.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

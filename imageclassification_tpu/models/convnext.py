@@ -15,7 +15,7 @@ for the detection/segmentation configs (SURVEY §2.2).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ dtype promotion); sequence length 197 pads to MXU tiles, which XLA handles.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

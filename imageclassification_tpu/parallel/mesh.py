@@ -11,8 +11,6 @@ FSDP) over ICI automatically; there is no hand-written collective in the hot pat
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -29,7 +29,6 @@ same UX as the reference's pickled-module checkpoints).
 
 from __future__ import annotations
 
-import os
 import pickle
 
 import jax
