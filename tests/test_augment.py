@@ -270,3 +270,27 @@ def test_lighting_pca():
     # noise is per-channel constant
     assert float(jnp.std(out[..., 0])) < 1e-5
     assert float(jnp.abs(out - img).max()) > 0
+
+
+def test_randaugment_application_rate():
+    """Each layer applies its op with prob≈0.5 (timm default): measure the
+    fraction of images changed by a 1-layer identity-detectable policy."""
+    from imageclassification_tpu.data.randaugment import RandAugmentConfig, rand_augment_batch
+
+    # invert-only op set makes application detectable
+    cfg = RandAugmentConfig(magnitude=9, num_layers=1, mstd=0.0, prob=0.5)
+    cfg.ops = [lambda img, m, k: 255.0 - img]
+    x = jnp.full((256, 4, 4, 3), 10.0)
+    out = rand_augment_batch(x, jax.random.key(0), cfg)
+    changed = float((jnp.abs(out - x).max(axis=(1, 2, 3)) > 1).mean())
+    assert 0.40 < changed < 0.60, changed
+
+
+def test_mixup_prob_zero_is_identity():
+    cfg = MixupConfig(mixup_alpha=0.8, num_classes=3, prob=0.0, label_smoothing=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 8, 8, 3)), jnp.float32)
+    y = jnp.arange(6) % 3
+    mixed, targets = mixup_cutmix(x, y, jax.random.key(0), cfg)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(targets),
+                               np.asarray(jax.nn.one_hot(y, 3)), atol=1e-6)

@@ -102,3 +102,20 @@ def test_eval_only_mode(toy_dataset, tmp_path, capsys):
     train_cli.main(cfg2)
     captured = capsys.readouterr()
     assert "Eval only mode" in captured.out
+
+
+@pytest.mark.slow
+def test_end_to_end_update_freq(toy_dataset, tmp_path):
+    """Gradient accumulation through the real CLI: update_freq=2 halves the
+    optimizer steps per epoch but still trains and checkpoints."""
+    import train as train_cli
+
+    cfg = _base_cfg(toy_dataset, tmp_path, epochs=2, update_freq=2)
+    train_cli.main(cfg)
+    out = tmp_path / "output"
+    assert (out / "checkpoint-1.pth").exists()
+    import json as _json
+
+    lines = [_json.loads(l) for l in open(out.parent / "log.txt")]
+    assert len(lines) == 2
+    assert lines[-1]["train_loss"] < lines[0]["train_loss"] * 1.5  # sane
