@@ -1,6 +1,7 @@
 from .io import (
     save_model,
     auto_load_model,
+    find_latest_checkpoint,
     load_checkpoint,
     load_params_with_pruning,
     wait_for_pending_saves,

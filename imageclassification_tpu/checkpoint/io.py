@@ -44,12 +44,46 @@ def _key_str(p) -> str:
 
 
 def _flatten(tree) -> Dict[str, np.ndarray]:
+    # one device_get for the whole pytree — per-leaf transfers cost minutes
+    # over tunneled backends
+    tree = jax.device_get(tree)
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
     for path, leaf in flat:
         key = "/".join(_key_str(p) for p in path)
-        out[key] = np.asarray(jax.device_get(leaf))
+        out[key] = np.asarray(leaf)
     return out
+
+
+def _shape_map(tree) -> Dict[str, tuple]:
+    """Flat key → leaf shape, without any device transfer (works on
+    non-addressable multi-host shards, where device_get would raise)."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        "/".join(_key_str(p) for p in path): tuple(np.shape(leaf))
+        for path, leaf in flat
+    }
+
+
+def _gather_replicated(tree):
+    """Reshard non-fully-addressable leaves (FSDP across hosts) to replicated
+    so a host snapshot is possible. COLLECTIVE: every process must call this
+    with the same tree. No-op on single-host / pure-DP state."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [
+        i for i, l in enumerate(leaves)
+        if isinstance(l, jax.Array) and not l.is_fully_addressable
+    ]
+    if not idx:
+        return tree
+    rep = jax.sharding.NamedSharding(
+        leaves[idx[0]].sharding.mesh, jax.sharding.PartitionSpec()
+    )
+    sub = tuple(leaves[i] for i in idx)
+    gathered = jax.jit(lambda xs: xs, out_shardings=(rep,) * len(sub))(sub)
+    for i, g in zip(idx, gathered):
+        leaves[i] = g
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _unflatten_like(template, flat: Dict[str, np.ndarray]):
@@ -77,44 +111,55 @@ def save_model(
     output_dir.mkdir(parents=True, exist_ok=True)
     checkpoint_path = output_dir / f"checkpoint-{epoch_name}.pth"
 
+    # Collective phase first: with multi-host FSDP the shards are not fully
+    # addressable, so EVERY process joins the all-gather; only the main
+    # process then snapshots and writes.
+    trees = {
+        "model": _gather_replicated(state.params),
+        "batch_stats": _gather_replicated(state.batch_stats),
+        "optimizer": _gather_replicated(state.opt_state),
+    }
+    if state.ema_params is not None:
+        trees["model_ema"] = _gather_replicated(state.ema_params)
+        if state.ema_batch_stats is not None:
+            trees["model_ema_batch_stats"] = _gather_replicated(
+                state.ema_batch_stats
+            )
+
+    if not is_main_process():
+        return
+
     to_save = {
         "format_version": FORMAT_VERSION,
         "model_spec": model_spec,          # {'name':..., 'kwargs':...}
-        "model": _flatten(state.params),
-        "batch_stats": _flatten(state.batch_stats),
-        "optimizer": _flatten(state.opt_state),
         "step": int(state.step),
         "epoch": epoch,
         "input_shape": list(input_shape),
         "num_classes": num_classes,
         "args": args.to_dict() if hasattr(args, "to_dict") else vars(args),
     }
-    if state.ema_params is not None:
-        to_save["model_ema"] = _flatten(state.ema_params)
-        if state.ema_batch_stats is not None:
-            to_save["model_ema_batch_stats"] = _flatten(state.ema_batch_stats)
+    to_save.update({k: _flatten(v) for k, v in trees.items()})
 
-    if is_main_process():
-        # device→host snapshot happened above (donation invalidates the live
-        # buffers at the next step, so _flatten must be synchronous); only the
-        # serialize+write goes to a background thread so training resumes
-        # immediately
-        def _write():
-            tmp = str(checkpoint_path) + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(to_save, f, protocol=pickle.HIGHEST_PROTOCOL)
-            os.replace(tmp, checkpoint_path)
-            # rolling retention (reference utils.py:554-558)
-            if isinstance(epoch, int):
-                to_del = epoch - args.save_ckpt_num * args.save_ckpt_freq
-                old_ckpt = output_dir / f"checkpoint-{to_del}.pth"
-                if old_ckpt.exists():
-                    os.remove(old_ckpt)
+    # device→host snapshot happened above (donation invalidates the live
+    # buffers at the next step, so _flatten must be synchronous); only the
+    # serialize+write goes to a background thread so training resumes
+    # immediately
+    def _write():
+        tmp = str(checkpoint_path) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(to_save, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, checkpoint_path)
+        # rolling retention (reference utils.py:554-558)
+        if isinstance(epoch, int):
+            to_del = epoch - args.save_ckpt_num * args.save_ckpt_freq
+            old_ckpt = output_dir / f"checkpoint-{to_del}.pth"
+            if old_ckpt.exists():
+                os.remove(old_ckpt)
 
-        wait_for_pending_saves()
-        t = threading.Thread(target=_write, daemon=True)
-        t.start()
-        _PENDING_SAVES.append(t)
+    wait_for_pending_saves()
+    t = threading.Thread(target=_write, daemon=True)
+    t.start()
+    _PENDING_SAVES.append(t)
 
 
 _PENDING_SAVES: list = []
@@ -138,11 +183,11 @@ def load_params_with_pruning(
 ) -> Tuple[Any, int]:
     """Keep only keys matching by name AND shape; returns (params, missing_nums).
     Prints `Skipping mismatched key: <k>` per drop (reference utils.py:584-595)."""
-    current = _flatten(params)
+    current = _shape_map(params)  # shape-only: no device transfer needed
     kept = {}
     missing_nums = 0
     for k, v in ckpt_flat.items():
-        if k in current and tuple(v.shape) == tuple(current[k].shape):
+        if k in current and tuple(v.shape) == current[k]:
             kept[k] = v
         else:
             if verbose:
@@ -165,6 +210,61 @@ def find_latest_checkpoint(output_dir: str) -> Optional[str]:
     return None
 
 
+def _sync_resume_across_processes(args) -> None:
+    """Make the resume decision on process 0 authoritative everywhere.
+
+    The reference relies on every DDP rank independently finding the same
+    checkpoint file; on multi-host pods without a shared filesystem only rank
+    0 may see it, and (unlike torch DDP) nothing later broadcasts parameters —
+    replicas would silently diverge. Broadcasting the resolved path turns that
+    into either a consistent resume or a loud, immediate error."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    enc = np.zeros(1024, np.uint8)
+    raw = args.resume.encode()
+    if len(raw) > enc.size:
+        raise ValueError(f"resume path too long to broadcast: {args.resume!r}")
+    enc[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(enc))
+    resume = bytes(out).rstrip(b"\x00").decode()
+    if resume != args.resume:
+        print(
+            f"process {jax.process_index()}: adopting process 0 resume "
+            f"decision {resume!r} (local was {args.resume!r})",
+            flush=True,
+        )
+        args.resume = resume
+    if resume and not os.path.exists(resume):
+        raise FileNotFoundError(
+            f"process {jax.process_index()} cannot read {resume!r} — "
+            "multi-host resume requires the checkpoint on a shared "
+            "filesystem (or mirrored to every host)"
+        )
+
+
+def _assert_checkpoint_consistent(ckpt_flat: Dict[str, np.ndarray]) -> None:
+    """Every process loaded its own copy of the file; verify the copies agree
+    (a cheap content fingerprint, allgathered)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    fp = 0.0
+    for v in ckpt_flat.values():
+        fp += float(np.asarray(v, np.float64).sum())
+    fps = np.asarray(
+        multihost_utils.process_allgather(np.asarray([fp], np.float32))
+    ).reshape(-1)
+    if not np.allclose(fps, fps[0], rtol=1e-5, atol=1e-6):
+        raise RuntimeError(
+            f"checkpoint content differs across processes (fingerprints "
+            f"{fps.tolist()}) — replicas would diverge; ensure every host "
+            "sees the same checkpoint file"
+        )
+
+
 def auto_load_model(args, state, model_spec=None):
     """Resume/transfer-load into `state` (reference utils.py:561-615 semantics).
     Returns (state, loaded_checkpoint_dict_or_None). Mutates args.start_epoch /
@@ -175,6 +275,7 @@ def auto_load_model(args, state, model_spec=None):
             args.resume = latest
         print("Auto resume checkpoint: %s" % args.resume)
 
+    _sync_resume_across_processes(args)
     if not args.resume:
         return state, None
 
@@ -196,6 +297,7 @@ def auto_load_model(args, state, model_spec=None):
 
     print(args.resume)
     checkpoint = load_checkpoint(args.resume)
+    _assert_checkpoint_consistent(checkpoint["model"])
 
     new_params, missing_nums = load_params_with_pruning(
         state.params, checkpoint["model"]

@@ -1,0 +1,327 @@
+"""torch/timm state_dict → repo checkpoint converter (reference C17's
+transfer-learning entry point: the reference loads timm hub weights with
+`pretrained=True` at train.py:194 and prunes mismatched layers at
+utils.py:584-595; TPU pods are zero-egress, so here the user converts a
+locally-downloaded torch state_dict once and passes the result via
+--pretrained_path).
+
+Supported layouts (key naming families):
+  * ResNet-50/101/152 etc. — torchvision == timm naming
+    (conv1/bn1/layer{1-4}.{i}.conv{1-3}/downsample/fc)
+  * ConvNeXt — both facebookresearch naming (downsample_layers/stages.i.j.
+    dwconv/pwconv1/pwconv2/gamma/norm/head — the reference's vendored
+    backbone, object_detection/mmdet/models/backbones/convnext.py:77-108)
+    and timm naming (stem/stages.i.blocks.j.conv_dw/mlp.fc1/...)
+  * ViT — timm naming (cls_token/pos_embed/patch_embed.proj/blocks.{i}.
+    norm1/attn.qkv/attn.proj/norm2/mlp.fc1/fc2/norm/head)
+
+All conversion is pure numpy on a {key: ndarray} dict, so tests can exercise
+it with torch-layout fixtures and the tool works on any pickled state_dict.
+
+Head/num_classes mismatches are NOT handled here — the existing
+load_params_with_pruning drops mismatched keys with the reference's
+"Skipping mismatched key:" print; the converter just emits the reference
+layout faithfully.
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+Flat = Dict[str, np.ndarray]
+
+
+def _t(x: np.ndarray) -> np.ndarray:
+    """torch Linear weight [out, in] → flax Dense kernel [in, out]."""
+    return np.ascontiguousarray(x.T)
+
+
+def _conv(x: np.ndarray) -> np.ndarray:
+    """torch Conv2d weight [out, in, kh, kw] → flax [kh, kw, in, out]."""
+    return np.ascontiguousarray(x.transpose(2, 3, 1, 0))
+
+
+def _np(sd: dict) -> Flat:
+    """Coerce tensors (torch or numpy) to float numpy arrays."""
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):  # torch.Tensor without importing torch
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+# --------------------------------------------------------------------- ResNet
+
+
+_RESNET_STAGES = {
+    "resnet18": [2, 2, 2, 2], "resnet34": [3, 4, 6, 3],
+    "resnet50": [3, 4, 6, 3], "resnet101": [3, 4, 23, 3],
+    "resnet152": [3, 8, 36, 3],
+}
+_BASIC = {"resnet18", "resnet34"}
+
+
+def convert_resnet(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    stages = _RESNET_STAGES[model_name]
+    block = "BasicBlock" if model_name in _BASIC else "Bottleneck"
+    n_convs = 2 if model_name in _BASIC else 3
+    params: Flat = {}
+    stats: Flat = {}
+
+    def bn(dst: str, src: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+        stats[f"{dst}/mean"] = sd[f"{src}.running_mean"]
+        stats[f"{dst}/var"] = sd[f"{src}.running_var"]
+
+    params["conv_stem/kernel"] = _conv(sd["conv1.weight"])
+    bn("bn_stem", "bn1")
+
+    k = 0
+    for s, n_blocks in enumerate(stages):
+        for b in range(n_blocks):
+            dst = f"{block}_{k}"
+            src = f"layer{s + 1}.{b}"
+            for c in range(n_convs):
+                params[f"{dst}/Conv_{c}/kernel"] = _conv(
+                    sd[f"{src}.conv{c + 1}.weight"]
+                )
+                bn(f"{dst}/BatchNorm_{c}", f"{src}.bn{c + 1}")
+            if f"{src}.downsample.0.weight" in sd:
+                params[f"{dst}/Conv_{n_convs}/kernel"] = _conv(
+                    sd[f"{src}.downsample.0.weight"]
+                )
+                bn(f"{dst}/BatchNorm_{n_convs}", f"{src}.downsample.1")
+            k += 1
+
+    params["head/kernel"] = _t(sd["fc.weight"])
+    params["head/bias"] = sd["fc.bias"]
+    return params, stats
+
+
+# ------------------------------------------------------------------- ConvNeXt
+
+
+def convert_convnext(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    params: Flat = {}
+    fb = "downsample_layers.0.0.weight" in sd  # facebookresearch naming
+
+    def ln(dst: str, src: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+
+    if fb:
+        params["stem_conv/kernel"] = _conv(sd["downsample_layers.0.0.weight"])
+        params["stem_conv/bias"] = sd["downsample_layers.0.0.bias"]
+        ln("stem_norm", "downsample_layers.0.1")
+        for i in (1, 2, 3):
+            ln(f"downsample_norm{i}", f"downsample_layers.{i}.0")
+            params[f"downsample_conv{i}/kernel"] = _conv(
+                sd[f"downsample_layers.{i}.1.weight"]
+            )
+            params[f"downsample_conv{i}/bias"] = sd[f"downsample_layers.{i}.1.bias"]
+    else:  # timm
+        params["stem_conv/kernel"] = _conv(sd["stem.0.weight"])
+        params["stem_conv/bias"] = sd["stem.0.bias"]
+        ln("stem_norm", "stem.1")
+        for i in (1, 2, 3):
+            ln(f"downsample_norm{i}", f"stages.{i}.downsample.0")
+            params[f"downsample_conv{i}/kernel"] = _conv(
+                sd[f"stages.{i}.downsample.1.weight"]
+            )
+            params[f"downsample_conv{i}/bias"] = sd[
+                f"stages.{i}.downsample.1.bias"
+            ]
+
+    # blocks: fb 'stages.{s}.{b}.<dwconv|norm|pwconv1|pwconv2|gamma>'
+    #         timm 'stages.{s}.blocks.{b}.<conv_dw|norm|mlp.fc1|mlp.fc2|gamma>'
+    pat = (
+        re.compile(r"stages\.(\d+)\.(\d+)\.dwconv\.weight") if fb
+        else re.compile(r"stages\.(\d+)\.blocks\.(\d+)\.conv_dw\.weight")
+    )
+    names = (
+        {"dw": "dwconv", "fc1": "pwconv1", "fc2": "pwconv2"} if fb
+        else {"dw": "conv_dw", "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    )
+    for key in sd:
+        m = pat.fullmatch(key)
+        if not m:
+            continue
+        s, b = int(m.group(1)), int(m.group(2))
+        src = f"stages.{s}.{b}" if fb else f"stages.{s}.blocks.{b}"
+        dst = f"stage{s}_block{b}"
+        params[f"{dst}/Conv_0/kernel"] = _conv(sd[f"{src}.{names['dw']}.weight"])
+        params[f"{dst}/Conv_0/bias"] = sd[f"{src}.{names['dw']}.bias"]
+        ln(f"{dst}/LayerNorm_0", f"{src}.norm")
+        params[f"{dst}/Dense_0/kernel"] = _t(sd[f"{src}.{names['fc1']}.weight"])
+        params[f"{dst}/Dense_0/bias"] = sd[f"{src}.{names['fc1']}.bias"]
+        params[f"{dst}/Dense_1/kernel"] = _t(sd[f"{src}.{names['fc2']}.weight"])
+        params[f"{dst}/Dense_1/bias"] = sd[f"{src}.{names['fc2']}.bias"]
+        if f"{src}.gamma" in sd:
+            params[f"{dst}/gamma"] = sd[f"{src}.gamma"]
+
+    if "norm.weight" in sd:  # fb head norm
+        ln("head_norm", "norm")
+    elif "head.norm.weight" in sd:  # timm
+        ln("head_norm", "head.norm")
+    for head in ("head", "head.fc"):
+        if f"{head}.weight" in sd:
+            params["head/kernel"] = _t(sd[f"{head}.weight"])
+            params["head/bias"] = sd[f"{head}.bias"]
+            break
+    return params, {}
+
+
+# ------------------------------------------------------------------------ ViT
+
+
+def convert_vit(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    params: Flat = {}
+    embed_dim = sd["cls_token"].shape[-1]
+    # infer head layout from qkv: timm fuses q,k,v into one [3E, E] matrix
+    qkv_w = sd["blocks.0.attn.qkv.weight"]
+    assert qkv_w.shape[0] == 3 * embed_dim, qkv_w.shape
+    # head count: standard ViT head_dim = 64
+    head_dim = 64
+    n_heads = embed_dim // head_dim
+
+    params["cls_token"] = sd["cls_token"]
+    params["pos_embed"] = sd["pos_embed"]
+    params["patch_embed/kernel"] = _conv(sd["patch_embed.proj.weight"])
+    params["patch_embed/bias"] = sd["patch_embed.proj.bias"]
+
+    def ln(dst: str, src: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        src = f"blocks.{i}"
+        dst = f"block{i}"
+        attn = f"{dst}/MultiHeadDotProductAttention_0"
+        ln(f"{dst}/LayerNorm_0", f"{src}.norm1")
+        ln(f"{dst}/LayerNorm_1", f"{src}.norm2")
+        w = sd[f"{src}.attn.qkv.weight"]        # [3E, E]
+        b = sd[f"{src}.attn.qkv.bias"]          # [3E]
+        for j, name in enumerate(("query", "key", "value")):
+            wj = w[j * embed_dim:(j + 1) * embed_dim]     # [E, E] (out, in)
+            params[f"{attn}/{name}/kernel"] = _t(wj).reshape(
+                embed_dim, n_heads, head_dim
+            )
+            params[f"{attn}/{name}/bias"] = b[
+                j * embed_dim:(j + 1) * embed_dim
+            ].reshape(n_heads, head_dim)
+        wo = sd[f"{src}.attn.proj.weight"]      # [E, E] (out, in)
+        params[f"{attn}/out/kernel"] = _t(wo).reshape(
+            n_heads, head_dim, embed_dim
+        )
+        params[f"{attn}/out/bias"] = sd[f"{src}.attn.proj.bias"]
+        params[f"{dst}/Mlp_0/Dense_0/kernel"] = _t(sd[f"{src}.mlp.fc1.weight"])
+        params[f"{dst}/Mlp_0/Dense_0/bias"] = sd[f"{src}.mlp.fc1.bias"]
+        params[f"{dst}/Mlp_0/Dense_1/kernel"] = _t(sd[f"{src}.mlp.fc2.weight"])
+        params[f"{dst}/Mlp_0/Dense_1/bias"] = sd[f"{src}.mlp.fc2.bias"]
+        i += 1
+
+    ln("norm", "norm")
+    if "head.weight" in sd:
+        params["head/kernel"] = _t(sd["head.weight"])
+        params["head/bias"] = sd["head.bias"]
+    return params, {}
+
+
+# ------------------------------------------------------------------- dispatch
+
+
+def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
+    """(torch-layout state_dict, model name) → (flat params, flat batch_stats)
+    in this repo's flattened-pytree key scheme (checkpoint/io._flatten)."""
+    sd = _np(sd)
+    # unwrap common checkpoint containers
+    for container in ("state_dict", "model", "model_state"):
+        if container in sd and isinstance(sd[container], dict):
+            sd = _np(sd[container])
+    sd = {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+
+    if model_name.startswith("resnet"):
+        return convert_resnet(sd, model_name)
+    if model_name.startswith("convnext"):
+        return convert_convnext(sd, model_name)
+    if model_name.startswith("vit"):
+        return convert_vit(sd, model_name)
+    raise ValueError(
+        f"no torch converter for model family of {model_name!r} "
+        "(supported: resnet*, convnext*, vit*)"
+    )
+
+
+def load_pretrained_flat(path: str, model_name: str) -> dict:
+    """Load pretrained weights from EITHER a repo checkpoint (plain pickle
+    with a 'model' flat dict) or a raw torch/timm state_dict file (torch zip
+    serialization), converting the latter on the fly. Returns a dict with
+    'model' and 'batch_stats' flat numpy arrays."""
+    ck = None
+    try:
+        with open(path, "rb") as f:
+            ck = pickle.load(f)
+    except Exception:
+        pass
+    if isinstance(ck, dict) and "model" in ck and not hasattr(
+        next(iter(ck["model"].values()), None), "detach"
+    ):
+        return ck
+    if ck is None:  # torch zip format needs torch.load
+        import torch
+
+        ck = torch.load(path, map_location="cpu", weights_only=True)
+    params, stats = convert_state_dict(ck, model_name)
+    print(f"Converted torch state_dict {path}")
+    return {"model": params, "batch_stats": stats}
+
+
+def convert_torch_checkpoint(
+    in_path: str, model_name: str, out_path: str, num_classes: int | None = None
+) -> str:
+    """Convert a torch .pth/.bin state_dict file into a repo-format checkpoint
+    consumable by --pretrained_path / --resume (pruning semantics intact)."""
+    try:
+        import torch
+
+        sd = torch.load(in_path, map_location="cpu", weights_only=True)
+    except Exception:
+        with open(in_path, "rb") as f:
+            sd = pickle.load(f)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    params, stats = convert_state_dict(sd, model_name)
+    if num_classes is None:
+        head = params.get("head/bias")
+        num_classes = int(head.shape[0]) if head is not None else 1000
+    ck = {
+        "format_version": 1,
+        "model_spec": {"name": model_name, "kwargs": {"num_classes": num_classes}},
+        "model": params,
+        "batch_stats": stats,
+        "num_classes": num_classes,
+        "converted_from": in_path,
+    }
+    with open(out_path, "wb") as f:
+        pickle.dump(ck, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print(f"wrote {out_path} ({len(params)} tensors, num_classes={num_classes})")
+    return out_path
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser("torch state_dict → repo checkpoint")
+    p.add_argument("--src", required=True, help="torch .pth/.bin state_dict")
+    p.add_argument("--model", required=True, help="model name (resnet50, ...)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num_classes", type=int, default=None)
+    a = p.parse_args()
+    convert_torch_checkpoint(a.src, a.model, a.out, a.num_classes)

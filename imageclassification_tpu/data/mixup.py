@@ -133,10 +133,17 @@ def mixup_cutmix(images, labels, rng, cfg: MixupConfig):
     # 'elem' and 'pair': per-sample lam (pair shares lam between (i, B-1-i))
     k_lam, k_box = jax.random.split(rng)
     lam, use_cutmix = _sample_lam(k_lam, cfg, (B,))
-    if cfg.mode == "pair":
-        lam = jnp.minimum(lam, lam[::-1])
-        use_cutmix = use_cutmix | use_cutmix[::-1]
     box_keys = jax.random.split(k_box, B)
+    if cfg.mode == "pair":
+        # timm _mix_pair: pair (i, B-1-i) shares ONE Beta sample, one
+        # cutmix/mixup choice, and one bbox — mirror the first half's draws
+        # onto the second half (min-of-two-Betas would over-mix).
+        first = jnp.arange(B) < B // 2
+        lam = jnp.where(first, lam, lam[::-1])
+        use_cutmix = jnp.where(first, use_cutmix, use_cutmix[::-1])
+        kd = jax.random.key_data(box_keys)
+        kd = jnp.where(first[:, None], kd, kd[::-1])
+        box_keys = jax.random.wrap_key_data(kd)
 
     def mix_one(img, other, l, cut, k):
         if cfg.cutmix_minmax is not None:

@@ -156,8 +156,10 @@ _RAND_OPS: List[Callable] = [
 
 
 class RandAugmentConfig:
-    def __init__(self, magnitude=9.0, num_layers=2, mstd=0.5, increasing=False,
+    def __init__(self, magnitude=10.0, num_layers=2, mstd=0.5, increasing=False,
                  prob=0.5):
+        # magnitude defaults to 10 like timm's _RAND defaults, so policy
+        # strings without an mN token (e.g. 'rand-mstd0.5') match timm
         self.magnitude = magnitude
         self.num_layers = num_layers
         self.mstd = mstd

@@ -84,7 +84,7 @@ class ConvNeXtBlock(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype,
                      kernel_init=truncated_normal_init())(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default (exact erf)
         x = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=truncated_normal_init())(x)
         if self.layer_scale_init > 0:

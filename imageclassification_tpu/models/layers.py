@@ -62,7 +62,9 @@ class Mlp(nn.Module):
 
     hidden_dim: int
     out_dim: Optional[int] = None
-    act: Callable = nn.gelu
+    # exact (erf) GELU: torch nn.GELU default, so converted timm weights
+    # reproduce reference logits bit-for-bit (flax's default is tanh-approx)
+    act: Callable = staticmethod(lambda x: nn.gelu(x, approximate=False))
     drop_rate: float = 0.0
     dtype: Dtype = jnp.float32
 

@@ -56,6 +56,10 @@ def convert_model_ema_to_model(pth_path: str, out_path: str | None = None) -> st
     if "model_ema" not in ck:
         raise KeyError(f"{pth_path} has no model_ema")
     ck["model"] = ck.pop("model_ema")
+    if "model_ema_batch_stats" in ck:
+        # BN statistics must follow the EMA weights they were averaged with
+        # (the reference's state_dict-based conversion carries BN buffers)
+        ck["batch_stats"] = ck.pop("model_ema_batch_stats")
     ck.pop("optimizer", None)
     ck.pop("step", None)
     out_path = out_path or pth_path.replace(".pth", "-ema.pth")

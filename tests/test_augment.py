@@ -199,6 +199,22 @@ def test_mixup_elem_and_pair_modes():
         np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_mixup_pair_mode_shares_lam_per_pair():
+    # timm _mix_pair: (i, B-1-i) share ONE lam / bbox. With distinct labels
+    # and no smoothing, targets[i, y[i]] recovers lam_i — pairs must match.
+    B, C = 8, 8
+    cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=C,
+                      mode="pair", label_smoothing=0.0, prob=1.0)
+    x = jnp.ones((B, 16, 16, 3))
+    y = jnp.arange(B)
+    _, targets = mixup_cutmix(x, y, jax.random.key(5), cfg)
+    lam = np.asarray(targets)[np.arange(B), np.arange(B)]
+    np.testing.assert_allclose(lam, lam[::-1], atol=1e-6)
+    # and the mix is symmetric: weight of partner's label = 1 - lam
+    partner = np.asarray(targets)[np.arange(B), np.arange(B)[::-1]]
+    np.testing.assert_allclose(partner, 1.0 - lam, atol=1e-6)
+
+
 def test_full_pipeline_shapes_and_dtype():
     cfg = TrainConfig(aa="rand-m9-mstd0.5-inc1", reprob=0.25)
     pipe = AugmentPipeline(cfg)

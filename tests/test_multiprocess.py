@@ -49,6 +49,41 @@ v.update(float(rank + 1), n=2)  # rank0: 1.0x2, rank1: 2.0x2
 v.synchronize_between_processes()
 assert v.count == 4 and abs(v.global_avg - 1.5) < 1e-9, (v.count, v.global_avg)
 
+# --- FSDP checkpoint round-trip across processes -----------------------------
+# save_model must all-gather non-addressable shards BEFORE the rank-0 gate
+# (collective on every process), and auto_load_model must broadcast the resume
+# decision from process 0.
+from jax.experimental import multihost_utils
+from imageclassification_tpu.models import create_model
+from imageclassification_tpu.optim.factory import create_optimizer
+from imageclassification_tpu.engine.state import create_train_state
+from imageclassification_tpu.parallel import shard_params
+from imageclassification_tpu.checkpoint.io import (
+    save_model, auto_load_model, wait_for_pending_saves,
+)
+
+model = create_model("resnet18", num_classes=3)
+tx = create_optimizer("adamw", 1e-3, 0.05)
+st = create_train_state(model, tx, jax.random.key(0), (1, 32, 32, 3))
+st = shard_params(mesh, st, fsdp=True)
+n_unaddressable = sum(
+    1 for l in jax.tree_util.tree_leaves(st.params)
+    if isinstance(l, jax.Array) and not l.is_fully_addressable
+)
+assert n_unaddressable > 0, "FSDP across 2 processes should shard some params"
+
+args.output_dir = os.environ["CKPT_DIR"]
+spec = {"name": "resnet18", "kwargs": {"num_classes": 3}}
+save_model(args, (1, 32, 32, 3), 0, st, 3, spec)
+wait_for_pending_saves()
+multihost_utils.sync_global_devices("ckpt written")
+
+args.auto_resume = True
+args.resume = ""
+st2, ck = auto_load_model(args, st)
+assert ck is not None and ck["epoch"] == 0, ck and ck.get("epoch")
+assert args.start_epoch == 1
+
 # rank-0 print gating is active after init_distributed_mode (utils.py:288-300
 # semantics) — force=True bypasses it, which this also regression-tests
 print(f"RANK{rank} OK", flush=True, force=True)
@@ -68,6 +103,7 @@ def test_two_process_data_parallel(tmp_path):
             MASTER_ADDR="127.0.0.1",
             MASTER_PORT="29876",
             REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            CKPT_DIR=str(tmp_path / "ckpt"),
         )
         env.pop("PYTHONPATH", None)
         procs.append(

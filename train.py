@@ -162,12 +162,34 @@ def main(args: TrainConfig):
         % (max(wd_schedule_values), min(wd_schedule_values))
     )
 
-    # pretrained local weights (no-egress replacement for timm hub downloads)
+    # pretrained local weights (no-egress replacement for timm hub downloads;
+    # the reference fetches through timm at train.py:194 — here a raw torch
+    # state_dict is accepted too, converted on the fly)
     if args.pretrained and args.pretrained_path:
-        ck = ckpt_io.load_checkpoint(args.pretrained_path)
+        from imageclassification_tpu.checkpoint.torch_convert import (
+            load_pretrained_flat,
+        )
+        ck = load_pretrained_flat(args.pretrained_path, args.model)
         new_params, _ = ckpt_io.load_params_with_pruning(state.params, ck["model"])
         state = state.replace(params=new_params)
+        if ck.get("batch_stats") and state.batch_stats:
+            new_stats, _ = ckpt_io.load_params_with_pruning(
+                state.batch_stats, ck["batch_stats"], verbose=False
+            )
+            state = state.replace(batch_stats=new_stats)
         print(f"Loaded pretrained weights from {args.pretrained_path}")
+    elif (args.pretrained and not args.pretrained_path and not args.resume
+          and not (args.auto_resume
+                   and ckpt_io.find_latest_checkpoint(args.output_dir))):
+        # the reference would download hub weights here; zero-egress TPU pods
+        # can't, and silently training from scratch under --pretrained true
+        # would misrepresent the run — fail loudly with the recipe instead
+        raise RuntimeError(
+            "--pretrained true needs local weights: pass --pretrained_path "
+            "(a repo checkpoint, or a torch/timm state_dict converted via "
+            "imageclassification_tpu/checkpoint/torch_convert.py), or set "
+            "--pretrained false to train from scratch"
+        )
 
     state, _ = ckpt_io.auto_load_model(args, state)
 
