@@ -75,15 +75,30 @@ def ra_epoch_batch_indices(
     return local[: steps * local_batch].reshape(steps, local_batch)
 
 
-def eval_batches(n_samples: int, batch_size: int) -> List[np.ndarray]:
-    """Sequential eval batches; the LAST batch is padded to batch_size with -1
-    sentinels (static shapes for the jit eval step; the padded tail is masked
-    out device-side). Reference evaluates the full val set on every rank with a
-    SequentialSampler (train.py:139)."""
+def eval_batches(
+    n_samples: int, batch_size: int, rank: int = 0, world: int = 1
+) -> List[np.ndarray]:
+    """Sequential eval batches, sharded across processes.
+
+    `batch_size` is the LOCAL per-process batch; global step s covers samples
+    [s*B*world, (s+1)*B*world) with process r taking the r-th contiguous
+    slice — shards are disjoint, so summed device-side counts give exactly
+    n_samples once. Short/empty slices are padded with -1 sentinels (static
+    shapes for the jit eval step; pads are masked device-side).
+
+    The reference instead evaluates the FULL val set on every rank
+    (SequentialSampler, train.py:139) — duplicated decode work and inflated
+    counts; fixed rather than reproduced here."""
+    global_batch = batch_size * world
+    steps = max(1, math.ceil(n_samples / global_batch))
     out = []
-    for start in range(0, n_samples, batch_size):
-        idx = np.arange(start, min(start + batch_size, n_samples))
+    for s in range(steps):
+        start = s * global_batch + rank * batch_size
+        stop = min(start + batch_size, n_samples)
+        idx = np.arange(start, max(start, stop))
         if len(idx) < batch_size:
-            idx = np.concatenate([idx, np.full(batch_size - len(idx), -1, dtype=idx.dtype)])
+            idx = np.concatenate(
+                [idx, np.full(batch_size - len(idx), -1, dtype=np.int64)]
+            )
         out.append(idx)
     return out

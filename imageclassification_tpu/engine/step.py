@@ -31,20 +31,24 @@ import optax
 from ..data.augment import AugmentPipeline, eval_preprocess
 from ..data.mixup import MixupConfig, mixup_cutmix, one_hot_smooth
 from ..optim.ema import ema_update
-from ..optim.factory import set_hyperparams
+from ..optim.factory import needs_hessian, set_hyperparams
 from .state import TrainState
 
 
 def _per_class_counts(preds, labels, num_classes, weights=None):
-    """TP/FP/FN count vectors (reference Python loop engine.py:84-87, now a
-    scatter-add over the class axis)."""
+    """TP/FP/FN count vectors (reference Python loop engine.py:84-87).
+
+    One-hot contractions instead of scatter-adds: TPU lowers scatters to
+    serialized updates, while einsum('bc,b->c') rides the MXU/VPU."""
     if weights is None:
         weights = jnp.ones_like(preds, jnp.float32)
     match = (preds == labels).astype(jnp.float32) * weights
     miss = (preds != labels).astype(jnp.float32) * weights
-    tp = jnp.zeros(num_classes).at[labels].add(match)
-    fp = jnp.zeros(num_classes).at[preds].add(miss)
-    fn = jnp.zeros(num_classes).at[labels].add(miss)
+    lab_oh = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    tp = jnp.einsum("bc,b->c", lab_oh, match)
+    fp = jnp.einsum("bc,b->c", pred_oh, miss)
+    fn = jnp.einsum("bc,b->c", lab_oh, miss)
     return tp, fp, fn
 
 
@@ -72,6 +76,7 @@ def build_train_step(
     smoothing = float(args.smoothing)
     clip_grad = args.clip_grad
     use_ema = bool(args.model_ema)
+    use_hessian = needs_hessian(getattr(args, "opt", ""))
     lr_schedule = jnp.asarray(lr_schedule, jnp.float32)
     wd_schedule = jnp.asarray(wd_schedule, jnp.float32)
     has_dropout_like = True  # all models accept a dropout rng
@@ -128,6 +133,29 @@ def build_train_step(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, mixed, targets, k_drop)
 
+        if use_hessian:
+            # AdaHessian Hutchinson estimate: z ⊙ (Hz) with Rademacher z,
+            # Hz from one jvp through the grad function (a second fwd+bwd —
+            # the same cost profile as torch adahessian's double backward)
+            k_hess = jax.random.fold_in(rng, 0x5E55)
+            leaves, treedef = jax.tree_util.tree_flatten(state.params)
+            zkeys = jax.random.split(k_hess, len(leaves))
+            z = treedef.unflatten([
+                jax.random.rademacher(k, l.shape, jnp.float32).astype(l.dtype)
+                for k, l in zip(zkeys, leaves)
+            ])
+
+            def grad_only(p):
+                return jax.grad(
+                    lambda q: loss_fn(q, state.batch_stats, mixed, targets,
+                                      k_drop)[0]
+                )(p)
+
+            hvp = jax.jvp(grad_only, (state.params,), (z,))[1]
+            hessian_diag = jax.tree.map(lambda a, b: a * b, z, hvp)
+        else:
+            hessian_diag = None
+
         finite = jnp.isfinite(loss)
         inv_freq = 1.0 / update_freq
         grads = jax.tree.map(
@@ -158,7 +186,12 @@ def build_train_step(
 
         def apply_fn(operand):
             params, opt_state, accum, ema, ema_bs = operand
-            updates, new_opt = tx.update(accum, opt_state, params)
+            if use_hessian:
+                updates, new_opt = tx.update(
+                    accum, opt_state, params, hessian_diag=hessian_diag
+                )
+            else:
+                updates, new_opt = tx.update(accum, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             if use_ema:
                 # timm ModelEmaV3 EMAs the full state_dict — params AND BN

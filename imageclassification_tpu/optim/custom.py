@@ -165,3 +165,66 @@ def sgdp(
         return new_updates, SGDPState(momentum=buf)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+class AdaHessianState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates        # EMA of squared (spatially-averaged) Hessian diag
+
+
+def _avg_spatial_abs(d):
+    """AdaHessian conv-kernel trick: average |diag| over the kernel's spatial
+    dims (torch adahessian avg_conv_kernel on [O,I,kh,kw]; flax layout is
+    [kh,kw,I,O] so the spatial dims are the leading two)."""
+    if d.ndim == 4:
+        return jnp.broadcast_to(
+            jnp.mean(jnp.abs(d), axis=(0, 1), keepdims=True), d.shape
+        )
+    return d
+
+
+def scale_by_adahessian(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    hessian_power: float = 1.0,
+) -> optax.GradientTransformationExtraArgs:
+    """AdaHessian (Yao et al. 2020) second-moment-from-Hessian scaling
+    (reference optim_factory.py:95 routes 'adahessian' to torch adahessian).
+
+    Adam-shaped update with the squared gradient replaced by the squared
+    Hutchinson estimate of the Hessian diagonal. The estimate cannot be formed
+    from gradients alone, so it arrives as the extra arg `hessian_diag`
+    (z * d/dp[grad·z], computed with one jax.jvp through the grad function in
+    the train step — engine/step.py)."""
+
+    def init_fn(params):
+        return AdaHessianState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None, *, hessian_diag=None, **extra):
+        del params, extra
+        if hessian_diag is None:
+            raise ValueError(
+                "adahessian needs the `hessian_diag` extra arg (the train "
+                "step computes it when args.opt selects adahessian)"
+            )
+        count = state.count + 1
+        d = jax.tree.map(_avg_spatial_abs, hessian_diag)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, h: b2 * v + (1 - b2) * h * h, state.nu, d)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        k = hessian_power / 2.0
+
+        def step(m, v):
+            denom = (v / c2) ** k + eps
+            return (m / c1) / denom
+
+        return jax.tree.map(step, mu, nu), AdaHessianState(count, mu, nu)
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)

@@ -38,7 +38,7 @@ _COUPLED_WD = {
 
 KNOWN_OPTIMIZERS = sorted(
     _COUPLED_WD
-    | {"adamw", "lion", "adamp", "sgdp", "lamb",
+    | {"adamw", "lion", "adamp", "sgdp", "lamb", "adahessian",
        "fusedsgd", "fusedmomentum", "fusedadam", "fusedadamw", "fusedlamb",
        "fusednovograd"}
 )
@@ -120,6 +120,12 @@ def _make_chain(
                         weight_decay=weight_decay, nesterov=True),
             *post,
         )
+    elif opt == "adahessian":
+        # decoupled decay like torch-adahessian (p *= 1 - lr*wd)
+        core = [
+            custom.scale_by_adahessian(b1=b1, b2=b2, eps=eps),
+            optax.add_decayed_weights(weight_decay),
+        ]
     elif opt == "adadelta":
         core = [optax.scale_by_adadelta(eps=eps)]
     elif opt == "adafactor":
@@ -194,12 +200,7 @@ def create_optimizer(
         "fusedadamw": "adamw", "fusedlamb": "lamb", "fusednovograd": "nvnovograd",
     }
     base = alias.get(base, base)
-    if base == "adahessian":
-        raise NotImplementedError(
-            "adahessian needs Hessian-vector products; not supported on the TPU "
-            "path yet (reference gates it on timm availability too)"
-        )
-    if base not in set(KNOWN_OPTIMIZERS) | {"adahessian"}:
+    if base not in KNOWN_OPTIMIZERS:
         raise ValueError(f"Invalid optimizer: {opt}")
 
     def builder(learning_rate, weight_decay):
@@ -241,3 +242,10 @@ def set_hyperparams(opt_state, lr, wd):
 
 def uses_lookahead(opt: str) -> bool:
     return opt.lower().split("_")[0] == "lookahead"
+
+
+def needs_hessian(opt: str) -> bool:
+    """True when the optimizer consumes a Hutchinson Hessian-diagonal estimate
+    (the train step then computes it via jvp-of-grad and passes it as the
+    `hessian_diag` extra arg)."""
+    return opt.lower().split("_")[-1] == "adahessian"

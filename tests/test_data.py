@@ -109,6 +109,19 @@ def test_eval_batches_pad_last():
     assert list(batches[-1]) == [8, 9, -1, -1]
 
 
+def test_eval_batches_sharded_disjoint_exact_cover():
+    # multi-process eval: shards are disjoint and cover every sample exactly
+    # once, so summed counts equal the dataset size (not world x size)
+    n, bs, world = 23, 4, 3
+    per_rank = [eval_batches(n, bs, rank=r, world=world) for r in range(world)]
+    steps = {len(b) for b in per_rank}
+    assert steps == {2}  # ceil(23 / 12)
+    seen = np.concatenate([np.concatenate(b) for b in per_rank])
+    real = seen[seen >= 0]
+    assert sorted(real.tolist()) == list(range(n))
+    assert len(real) == n  # exactly once — no duplicates across ranks
+
+
 def test_loader_deterministic_across_runs(toy_dataset):
     import jax
     from imageclassification_tpu.data.loader import DeviceLoader

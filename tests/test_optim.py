@@ -30,7 +30,13 @@ def test_every_optimizer_steps(name):
     params = _toy_params()
     tx = create_optimizer(name, lr=1e-2, weight_decay=1e-4)
     state = tx.init(params)
-    updates, state = tx.update(_toy_grads(params), state, params)
+    if name == "adahessian":  # consumes a Hutchinson diag as an extra arg
+        hess = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+        updates, state = tx.update(
+            _toy_grads(params), state, params, hessian_diag=hess
+        )
+    else:
+        updates, state = tx.update(_toy_grads(params), state, params)
     new_params = optax.apply_updates(params, updates)
     # params must change and stay finite
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, new_params)
@@ -53,8 +59,39 @@ def test_lookahead_prefix():
 def test_invalid_optimizer_raises():
     with pytest.raises(ValueError):
         create_optimizer("notanopt", lr=1e-3, weight_decay=0.0)
-    with pytest.raises(NotImplementedError):
-        create_optimizer("adahessian", lr=1e-3, weight_decay=0.0)
+
+
+def test_adahessian_full_train_step():
+    """adahessian end-to-end: the train step computes the Hutchinson diagonal
+    (jvp through grad) and the update stays finite and moves params."""
+    import numpy as np
+
+    from imageclassification_tpu.config import TrainConfig
+    from imageclassification_tpu.engine.state import create_train_state
+    from imageclassification_tpu.engine.step import build_train_step
+    from imageclassification_tpu.models import create_model
+
+    cfg = TrainConfig(model="resnet18", input_size=32, batch_size=8,
+                      opt="adahessian", smoothing=0.1, aa="", reprob=0.0,
+                      color_jitter=0.0, half_precision=False)
+    model = create_model("resnet18", num_classes=3)
+    tx = create_optimizer("adahessian", lr=1e-3, weight_decay=1e-4)
+    state = create_train_state(model, tx, jax.random.key(0), (1, 32, 32, 3))
+    lr = np.full(8, 1e-3, np.float32)
+    wd = np.full(8, 1e-4, np.float32)
+    step = jax.jit(build_train_step(model, tx, cfg, 3, None, lr, wd))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.integers(0, 255, (8, 32, 32, 3)), jnp.uint8),
+        "label": jnp.asarray(rng.integers(0, 3, (8,)), jnp.int32),
+    }
+    p0 = state.params
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, state.params)
+    assert max(jax.tree.leaves(moved)) > 0
+    for leaf in jax.tree.leaves(state.params):
+        assert bool(jnp.isfinite(leaf).all())
 
 
 def test_injected_lr_schedule_changes_step_size():

@@ -212,11 +212,17 @@ def main(args: TrainConfig):
             f"global batch {args.batch_size * num_tasks} must divide across "
             f"{n_dev} devices"
         )
-    eval_bs = int(1.5 * args.batch_size)  # reference train.py:167
+    eval_bs = int(1.5 * args.batch_size)  # reference train.py:167 (per process)
     eval_bs = max(n_dev, (eval_bs // n_dev) * n_dev)
 
     def make_val_loader():
-        idx = np.stack(eval_batches(len(dataset_val), eval_bs))
+        # val set sharded across processes (disjoint slices) — each sample is
+        # decoded and counted exactly once globally
+        idx = np.stack(
+            eval_batches(
+                len(dataset_val), eval_bs, rank=global_rank, world=num_tasks
+            )
+        )
         return DeviceLoader(
             dataset_val, mesh, idx, args.input_size, train=False,
             seed=seed, num_workers=args.num_workers,
