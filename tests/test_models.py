@@ -106,3 +106,38 @@ def test_registry_has_reference_families():
     assert "efficientvit_m0" in models  # reference default (train.py:41)
     assert "convnext_tiny" in models and "resnet50" in models
     assert "vit_base_patch16" in models
+
+
+def test_stem_space_to_depth_exact():
+    """The space-to-depth stem reformulation is bit-level equivalent to the
+    direct 7x7/s2 convolution (models/resnet.py StemConv)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from imageclassification_tpu.models.resnet import _space_to_depth_stem
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, 36, 44, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.1, (7, 7, 3, 8)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = _space_to_depth_stem(x, k, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stem_odd_input_falls_back():
+    import jax
+    import jax.numpy as jnp
+
+    from imageclassification_tpu.models import create_model
+
+    model = create_model("resnet18", num_classes=3)
+    x = jnp.zeros((1, 31, 31, 3))  # odd size: direct-conv fallback
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 3)
