@@ -151,7 +151,8 @@ def main():
     ))
 
     # 5. 8-way data-parallel + val.py EMA batch inference
-    cfg5 = base("c5", model="resnet18", model_ema=True, mixup=0.0, cutmix=0.0,
+    cfg5 = base("c5", model="resnet18", model_ema=True,
+                model_ema_decay=ema_decay, mixup=0.0, cutmix=0.0,
                 batch_size=16)
     results.append(run_config("dp8_ema", cfg5))
     from val import val_precision
