@@ -67,6 +67,23 @@ def cutout_abs(img, rng, size, fill=127.0):
     return I.cutout(img, size // 2, cy, cx, fill)
 
 
+def lighting_gray(img, rng, alphastd=0.1):
+    """Grayscale PCA lighting (reference LightingGray, :252-269): the PCA
+    delta is computed as in `lighting`, then the image+delta is converted to
+    luminance (ITU-R 601) and broadcast back to 3 channels."""
+    lit = lighting(img, rng, alphastd)
+    gray = (lit @ jnp.array([0.299, 0.587, 0.114]))[..., None]
+    return jnp.clip(jnp.broadcast_to(gray, lit.shape), 0.0, 255.0)
+
+
+def sample_pairing(img, other, rng, weight_range=(0.0, 0.4)):
+    """SamplePairing (reference :~186): blend a second training image in with
+    a uniform weight — labels unchanged (unlike mixup). `other` is typically
+    the batch-reversed partner."""
+    w = jax.random.uniform(rng, minval=weight_range[0], maxval=weight_range[1])
+    return (1.0 - w) * img + w * other
+
+
 class AbelAugmentConfig:
     def __init__(self, n: int = 2):
         self.n = n

@@ -310,3 +310,27 @@ def test_mixup_prob_zero_is_identity():
     np.testing.assert_allclose(np.asarray(mixed), np.asarray(x), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(targets),
                                np.asarray(jax.nn.one_hot(y, 3)), atol=1e-6)
+
+
+def test_abel_latent_ops_lighting_gray_and_sample_pairing():
+    from imageclassification_tpu.data.abel import lighting_gray, sample_pairing
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.integers(0, 255, (12, 12, 3)), jnp.float32)
+    other = jnp.asarray(rng.integers(0, 255, (12, 12, 3)), jnp.float32)
+
+    gray = lighting_gray(img, jax.random.key(0))
+    assert gray.shape == img.shape
+    # grayscale: all three channels identical
+    np.testing.assert_allclose(np.asarray(gray[..., 0]),
+                               np.asarray(gray[..., 1]), atol=1e-4)
+    assert 0.0 <= float(gray.min()) and float(gray.max()) <= 255.0
+
+    mixed = sample_pairing(img, other, jax.random.key(1))
+    # blend weight in [0, 0.4]: output between img and a 40/60 mix
+    w_implied = np.asarray((mixed - img) / np.where(
+        np.abs(other - img) < 1e-6, 1.0, other - img))
+    valid = np.abs(np.asarray(other - img)) > 1e-6
+    w = w_implied[valid]
+    assert w.min() > -1e-5 and w.max() < 0.4 + 1e-5
+    assert np.allclose(w, w.flat[0], atol=1e-5)  # single weight per call
