@@ -37,7 +37,8 @@ def time_scan(make_body, init_carry):
             return jax.lax.scan(lambda c, _: (body(c, x), None), carry,
                                 None, length=K)[0]
 
-        f = jax.jit(scanned)
+        # donate the carry: the relay replays non-donated identical calls
+        f = jax.jit(scanned, donate_argnums=(0,))
         c0, x = init_carry()
         jax.block_until_ready(f(c0, x))
         best = float("inf")

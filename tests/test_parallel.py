@@ -83,3 +83,52 @@ def test_gradient_allreduce_semantics():
     np.testing.assert_allclose(np.asarray(g), x.mean(axis=0), rtol=1e-6)
     # gradient is fully replicated (each device has the same reduced value)
     assert g.sharding.is_fully_replicated
+
+
+def test_full_train_step_on_2d_mesh_data_fsdp():
+    """End-to-end train step on a 2-D 'data:4,fsdp:2' mesh: batch sharded over
+    BOTH axes, params/optimizer sharded over the fsdp axis (ZeRO-3 layout the
+    --mesh_shape flag exposes)."""
+    from imageclassification_tpu.config import TrainConfig
+    from imageclassification_tpu.engine.state import create_train_state
+    from imageclassification_tpu.engine.step import build_train_step
+    from imageclassification_tpu.models import create_model
+    from imageclassification_tpu.optim.factory import create_optimizer
+
+    mesh = make_mesh("data:4,fsdp:2")
+    cfg = TrainConfig(model="resnet18", input_size=32, batch_size=16,
+                      smoothing=0.1, mixup=0.2, fsdp=True,
+                      half_precision=False)
+    model = create_model("resnet18", num_classes=4)
+    tx = create_optimizer("adamw", 1e-3, 0.05)
+    state = create_train_state(model, tx, jax.random.key(0), (1, 32, 32, 3))
+    state = shard_params(mesh, state, fsdp=True)
+
+    # some large params actually live on the fsdp axis
+    fsdp_sharded = [
+        l for l in jax.tree.leaves(state.params)
+        if isinstance(l, jax.Array)
+        and any("fsdp" in str(s) for s in [l.sharding.spec])
+    ]
+    assert fsdp_sharded, "expected fsdp-axis-sharded parameters"
+
+    from imageclassification_tpu.data.mixup import build_mixup
+    mix = build_mixup(cfg, 4)
+    lr = np.full(8, 1e-3, np.float32)
+    wd = np.full(8, 5e-4, np.float32)
+    step = jax.jit(build_train_step(model, tx, cfg, 4, mix, lr, wd),
+                   donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    host = {
+        "image": rng.integers(0, 255, (16, 32, 32, 3)).astype(np.uint8),
+        "label": rng.integers(0, 4, (16,)).astype(np.int32),
+    }
+    batch = make_global_batch(mesh, host)
+    # batch is sharded over all 8 devices (both axes act as data for inputs)
+    assert len(batch["image"].sharding.device_set) == 8
+
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    state, metrics = step(state, batch, jax.random.key(2))
+    assert bool(jnp.isfinite(metrics["grad_norm"]))
