@@ -51,7 +51,7 @@ ROOFLINE_IMG_S = V5E_BF16_PEAK / TRAIN_FLOPS_PER_IMG
 TARGET_IMG_S = 0.9 * ROOFLINE_IMG_S
 
 
-def _build(batch, acc_mode="exact"):
+def _build(batch, acc_mode="exact", model_name="resnet50"):
     import jax
 
     from imageclassification_tpu.config import TrainConfig
@@ -63,12 +63,15 @@ def _build(batch, acc_mode="exact"):
 
     size, num_classes = 224, 1000
     cfg = TrainConfig(
-        model="resnet50", input_size=size, batch_size=batch,
+        model=model_name, input_size=size, batch_size=batch,
         mixup=0.8, smoothing=0.1, reprob=0.25, color_jitter=0.3,
         half_precision=True, train_acc_mode=acc_mode,
     )
-    model = create_model("resnet50", num_classes=num_classes,
-                         half_precision=True)
+    kwargs = {}
+    if model_name.startswith("efficientvit"):
+        kwargs["img_size"] = size
+    model = create_model(model_name, num_classes=num_classes,
+                         half_precision=True, **kwargs)
     tx = create_optimizer(cfg.opt, cfg.lr, cfg.weight_decay)
     state = create_train_state(model, tx, jax.random.key(0),
                                (1, size, size, 3))
@@ -110,14 +113,16 @@ def time_scan(step_fn, fresh_state, data, k_lo=8, k_hi=24):
     times = {}
     for K in (k_lo, k_hi):
         f = make(K)
-        jax.block_until_ready(f(fresh_state(), data))  # compile + warm
+        np.asarray(f(fresh_state(), data))  # compile + warm; FETCH to sync
         best = float("inf")
         for _ in range(3):
             st = fresh_state()
             jax.block_until_ready(st)
             t0 = time.perf_counter()
-            out = f(st, data)
-            jax.block_until_ready(out)
+            # fetching the [K] losses is the only reliable sync on tunneled
+            # relays (block_until_ready can return without a round trip);
+            # the constant fetch RTT cancels in the K_hi-K_lo difference
+            np.asarray(f(st, data))
             best = min(best, time.perf_counter() - t0)
         times[K] = best
     return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
@@ -166,6 +171,23 @@ def main():
         out = os.path.join("benchmarks", "bench_sweep.json")
         with open(out, "w") as f:
             json.dump(sweep, f, indent=2)
+
+    if os.environ.get("BENCH_MODELS"):
+        # per-family training throughput (img/s only — FLOPs differ per model)
+        rows = {}
+        for name in os.environ["BENCH_MODELS"].split(","):
+            name = name.strip()
+            step_fn, fresh_state, data = _build(batch, model_name=name)
+            per = time_scan(step_fn, fresh_state, data)
+            rows[name] = {
+                "batch": batch,
+                "ms_per_step": round(per * 1e3, 2),
+                "images_per_sec": round(batch / per, 1),
+            }
+            print(name, rows[name], flush=True)
+        out = os.path.join("benchmarks", "bench_models.json")
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=2)
 
     step_fn, fresh_state, data = _build(batch)
     if mode == "dispatch":

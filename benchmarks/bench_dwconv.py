@@ -27,6 +27,9 @@ K_LO, K_HI = 8, 24
 
 
 def time_scan(make_body, init_carry):
+    """Scan-difference timing. Synchronize by FETCHING the scan outputs
+    (np.asarray) — on the tunneled relay, block_until_ready on small
+    device outputs can return without a round trip, collapsing timings."""
     import jax
 
     times = {}
@@ -34,20 +37,19 @@ def time_scan(make_body, init_carry):
         body = make_body()
 
         def scanned(carry, x):
-            return jax.lax.scan(lambda c, _: (body(c, x), None), carry,
-                                None, length=K)[0]
+            def step(c, _):
+                return body(c, x)
+            return jax.lax.scan(step, carry, None, length=K)[1]
 
-        # donate the carry: the relay replays non-donated identical calls
-        f = jax.jit(scanned, donate_argnums=(0,))
+        f = jax.jit(scanned)
         c0, x = init_carry()
-        jax.block_until_ready(f(c0, x))
+        np.asarray(f(c0, x))  # warm (compile) + fetch
         best = float("inf")
         for rep in range(3):
-            c0, x = init_carry(1e-6 * (rep + 1))
+            c0, x = init_carry(1e-5 * (rep + 1))
             jax.block_until_ready((c0, x))
             t0 = time.perf_counter()
-            out = f(c0, x)
-            jax.block_until_ready(out)
+            np.asarray(f(c0, x))
             best = min(best, time.perf_counter() - t0)
         times[K] = best
     return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
@@ -67,7 +69,7 @@ def main():
     for B, H, W, C in SHAPES:
         rng = np.random.default_rng(0)
         x0 = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.bfloat16)
-        w0 = jnp.asarray(rng.normal(0, 0.1, (7, 7, C)), jnp.bfloat16)
+        w0 = jnp.asarray(rng.normal(0, 0.1, (7, 7, C)), jnp.float32)
         key = f"{H}x{W}x{C}"
         results[key] = {"fits_vmem": dw.fits_vmem(H, W, C, 2)}
 
@@ -78,11 +80,12 @@ def main():
             if impl_name == "pallas" and not dw.fits_vmem(H, W, C, 2):
                 continue
 
-            # forward: carry the kernel, chained through w += eps*mean(out)
+            # forward: fp32 kernel carry, chained through w += eps*mean(out)
             def make_fwd(fn=fn):
                 def body(w, x):
-                    out = fn(x, w)
-                    return w + (out.mean() * 1e-12).astype(w.dtype)
+                    out = fn(x, w.astype(x.dtype))
+                    m = out.astype(jnp.float32).mean()
+                    return w + m * 1e-7, m
                 return body
 
             def init(eps=0.0):
@@ -90,13 +93,14 @@ def main():
 
             per_f = time_scan(make_fwd, init)
 
-            # fwd+bwd: grads wrt (x-like carry? keep w as carry)
+            # fwd+bwd: SGD on the kernel through the conv
             def make_fb(fn=fn):
                 def body(w, x):
-                    def loss(w):
-                        return (fn(x, w).astype(jnp.float32) ** 2).mean()
-                    g = jax.grad(loss)(w)
-                    return w - (1e-6 * g).astype(w.dtype)
+                    def loss(wf):
+                        return (fn(x, wf.astype(x.dtype))
+                                .astype(jnp.float32) ** 2).mean()
+                    l, g = jax.value_and_grad(loss)(w)
+                    return w - 1e-6 * g, l
                 return body
 
             per_fb = time_scan(make_fb, init)

@@ -30,43 +30,31 @@ class DepthwiseConv7x7(nn.Module):
     """7×7 depthwise conv. Parameter layout matches nn.Conv (kernel [7,7,1,C]
     + bias [C]) so checkpoints are interchangeable.
 
-    Two implementations: XLA's grouped conv (default) and the hand-written
-    Pallas VPU kernel (ops/pallas_dwconv, opt-in via IMGCLS_PALLAS_DWCONV=1).
-    Measured on a v5e chip (bf16, B=64): XLA wins at every ConvNeXt stage —
-    1.25 vs 3.15 ms at 56²×96 down to 0.72 vs 0.85 ms at 7²×768 — its sliding
-    -window lowering reuses rows in registers where the Pallas kernel re-reads
-    VMEM 49×. The kernel stays as the optimization baseline for a future
-    register-blocked version."""
+    Executed through XLA's grouped-conv lowering. A hand-written Pallas VPU
+    kernel (ops/pallas_dwconv) was benchmarked against it on a real v5e chip
+    at every ConvNeXt stage shape (benchmarks/bench_dwconv.py →
+    benchmarks/dwconv_bench.json): XLA wins decisively (1.25 vs 5.5 ms at
+    56²×96, B=128 bf16) — its sliding-window lowering reuses rows in
+    registers where the Pallas kernel re-reads VMEM 49×. The kernel and
+    benchmark are kept as the measured baseline; the model path does not
+    call it."""
 
     dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        import os
-
         kernel = self.param(
             "kernel", truncated_normal_init(), (7, 7, 1, self.dim)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
-        from ..ops import pallas_dwconv as dw
-
-        H, W = x.shape[1], x.shape[2]
-        use_pallas = (
-            os.environ.get("IMGCLS_PALLAS_DWCONV") == "1"
-            and jax.default_backend() not in ("cpu", "gpu")
-            and dw.fits_vmem(H, W, self.dim, x.dtype.itemsize)
+        out = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim,
         )
-        if use_pallas:
-            out = dw.depthwise_conv7x7(x, k[:, :, 0, :])
-        else:
-            out = jax.lax.conv_general_dilated(
-                x, k, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.dim,
-            )
         return out + bias.astype(out.dtype)
 
 
