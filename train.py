@@ -55,14 +55,16 @@ def _enable_compile_cache():
 
 
 def main(args: TrainConfig):
+    # pin the platform BEFORE anything can initialize a backend —
+    # init_distributed_mode may touch devices on multi-process bootstrap
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.check_nans:
+        jax.config.update("jax_debug_nans", True)  # SURVEY §5.2 equivalent
+
     parallel.init_distributed_mode(args)
     print(args)
     _enable_compile_cache()
-
-    if args.check_nans:
-        jax.config.update("jax_debug_nans", True)  # SURVEY §5.2 equivalent
-    if args.device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
 
     # per-process seeding (reference train.py:116-119 seeds per rank; here the
     # split/sampler seeds must agree across processes, so the DATA seed is the
