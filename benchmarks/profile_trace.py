@@ -78,6 +78,8 @@ def parse(trace_dir: str):
         if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_lanes:
             # strip per-instance suffixes: 'fusion.123' → 'fusion'
             name = re.sub(r"[.(].*$", "", e.get("name", ""))
+            if name in ("while", "jit_scanned"):
+                continue  # control-flow wrappers re-span their body ops
             dur = e.get("dur", 0)
             agg[name] += dur
             counts[name] += 1
