@@ -84,6 +84,21 @@ st2, ck = auto_load_model(args, st)
 assert ck is not None and ck["epoch"] == 0, ck and ck.get("epoch")
 assert args.start_epoch == 1
 
+# --- sharded eval: global count equals dataset size exactly ------------------
+# eval_batches shards the val set into disjoint per-process slices; summing
+# the device-side valid-label counts over all steps must give n_samples once
+# (the reference double-counts: every rank evaluates the full set).
+from imageclassification_tpu.data.sampler import eval_batches
+
+n_samples, local_bs = 23, 4
+ev_batches = eval_batches(n_samples, local_bs, rank=rank, world=2)
+count = jax.jit(lambda l: (l >= 0).sum())
+tot = 0
+for idx in ev_batches:
+    gb = make_global_batch(mesh, {"label": idx.astype(np.int32)})
+    tot += int(count(gb["label"]))
+assert tot == n_samples, (tot, n_samples)
+
 # rank-0 print gating is active after init_distributed_mode (utils.py:288-300
 # semantics) — force=True bypasses it, which this also regression-tests
 print(f"RANK{rank} OK", flush=True, force=True)
