@@ -66,7 +66,6 @@ def main():
 
     # host→device transfer (uint8 NHWC — 4x smaller than f32 over the link)
     import jax
-    import jax.numpy as jnp
 
     batch = np.zeros((128, 224, 224, 3), np.uint8)
     d = jax.device_put(batch)  # warm

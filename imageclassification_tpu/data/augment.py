@@ -18,13 +18,11 @@ ops commute to first order — see blend() linearity).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from ..ops import image as I
-from .abel import AbelAugmentConfig, abel_augment_batch, parse_abel_policy
+from .abel import abel_augment_batch, parse_abel_policy
 from .randaugment import (
     AutoAugmentConfig,
     RandAugmentConfig,

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import uuid
 from pathlib import Path
 
 from imageclassification_tpu.config import get_args_parser, TrainConfig
