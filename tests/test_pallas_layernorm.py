@@ -1,0 +1,104 @@
+"""Fused Pallas LayerNorm vs nn.LayerNorm / jnp reference (interpret mode on
+CPU; the TPU-compiled path is exercised by bench/profile runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from imageclassification_tpu.ops import pallas_layernorm as pln
+
+
+@pytest.fixture
+def interpret_mode(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pln.pl, "pallas_call", patched)
+    # `supported` gates on the TPU backend; force the kernel path under test
+    monkeypatch.setattr(
+        pln, "supported",
+        lambda shape, backend=None: pln._pick_rows(
+            int(np.prod(shape[:-1])), shape[-1]
+        ),
+    )
+
+
+def _kernel_ln(x, g, b, eps=1e-6):
+    rows = pln.supported(x.shape)
+    assert rows > 0
+    y = pln._fused(x.reshape(-1, x.shape[-1]), g, b, eps, rows)
+    return y.reshape(x.shape)
+
+
+def test_forward_matches_nn_layernorm(interpret_mode):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 2, (4, 8, 8, 96)), jnp.float32)
+    g = jnp.asarray(rng.normal(1, 0.2, (96,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.2, (96,)), jnp.float32)
+
+    got = _kernel_ln(x, g, b)
+    mod = nn.LayerNorm(epsilon=1e-6)
+    ref = mod.apply({"params": {"scale": g, "bias": b}}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference(interpret_mode):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 64)), jnp.float32)
+    g = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32)
+
+    def loss_kernel(x, g, b):
+        return jnp.sum(_kernel_ln(x, g, b) * t)
+
+    def loss_ref(x, g, b):
+        return jnp.sum(pln.layer_norm_ref(x, g, b) * t)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, g, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, g, b)
+    for a, r, name in zip(gk, gr, ("dx", "dgamma", "dbeta")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_bf16_output_dtype_and_fp32_stats(interpret_mode):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 128)), jnp.bfloat16)
+    g = jnp.ones((128,), jnp.float32)
+    b = jnp.zeros((128,), jnp.float32)
+    y = _kernel_ln(x, g, b)
+    assert y.dtype == jnp.bfloat16
+    ref = pln.layer_norm_ref(x, g, b)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_supported_gating():
+    # off-TPU → 0 (falls back to jnp path)
+    assert pln.supported((4, 8, 96), backend="cpu") == 0
+    # oversized channel axis unsupported
+    assert pln.supported((4, 8, 8192), backend="tpu") == 0
+    # public entry point works everywhere via the fallback
+    x = jnp.ones((3, 5, 7))
+    y = pln.fused_layer_norm(x, jnp.ones((7,)), jnp.zeros((7,)))
+    assert y.shape == x.shape
+
+
+def test_odd_row_counts_pick_smaller_blocks():
+    # N = 2*197 (ViT tokens) is not divisible by large powers of two
+    rows = pln._pick_rows(2 * 197, 192)
+    assert rows > 0 and (2 * 197) % rows == 0
