@@ -255,7 +255,10 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
         return convert_vit(sd, model_name)
     raise ValueError(
         f"no torch converter for model family of {model_name!r} "
-        "(supported: resnet*, convnext*, vit*)"
+        "(supported: resnet*, convnext*, vit*; efficientvit is not yet "
+        "mapped — its timm layout fuses BN into cascaded-attention convs "
+        "and has no shape-stable correspondence to train from hub weights; "
+        "use repo checkpoints for transfer there)"
     )
 
 

@@ -46,15 +46,22 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    `_tried` is only set AFTER the load resolves (inside the lock): a
+    concurrent first-use from the loader's thread pool must block on the
+    lock, not observe a half-initialized state and silently fall back to
+    PIL (which decodes slightly differently → nondeterministic batches)."""
     global _lib, _tried
-    if _lib is not None or _tried:
+    if _lib is not None:
         return _lib
+    if _tried:  # resolved to 'unavailable'
+        return None
     with _lock:
         if _lib is not None or _tried:
             return _lib
-        _tried = True
         if not _build():
+            _tried = True
             return None
         lib = ctypes.CDLL(os.path.abspath(_SO))
         lib.jpeg_dims.restype = ctypes.c_int

@@ -94,7 +94,11 @@ def test_trainer_sets_rendezvous_env(mock_submitit, monkeypatch):
     import run_with_submitit as L
 
     for k in ("MASTER_ADDR", "MASTER_PORT", "RANK", "WORLD_SIZE"):
-        monkeypatch.delenv(k, raising=False)
+        # register the key with monkeypatch so the values the Trainer writes
+        # into os.environ are removed at teardown (they would otherwise leak
+        # and flip later train.py tests into the distributed bootstrap path)
+        monkeypatch.setenv(k, "sentinel")
+        monkeypatch.delenv(k)
     trainer = L.Trainer(types.SimpleNamespace())
     trainer._setup_dist_env()
     assert os.environ["MASTER_ADDR"] == "host0"      # coordinator = host 0
