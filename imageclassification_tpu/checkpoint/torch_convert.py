@@ -240,12 +240,12 @@ def convert_vit(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
 def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
     """(torch-layout state_dict, model name) → (flat params, flat batch_stats)
     in this repo's flattened-pytree key scheme (checkpoint/io._flatten)."""
-    sd = _np(sd)
-    # unwrap common checkpoint containers
+    # unwrap common checkpoint containers BEFORE numpy coercion (asarray on a
+    # nested dict would turn it into a 0-d object array)
     for container in ("state_dict", "model", "model_state"):
         if container in sd and isinstance(sd[container], dict):
-            sd = _np(sd[container])
-    sd = {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+            sd = sd[container]
+    sd = _np({re.sub(r"^module\.", "", k): v for k, v in sd.items()})
 
     if model_name.startswith("resnet"):
         return convert_resnet(sd, model_name)

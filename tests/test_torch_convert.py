@@ -306,3 +306,46 @@ def test_convert_prunes_foreign_head(tmp_path):
         jax.tree_util.tree_leaves_with_path(new_params)[0][1]
     )
     assert np.isfinite(got).all()
+
+
+def test_convert_unwraps_containers_and_module_prefix():
+    """Real-world checkpoint files wrap the state_dict ('state_dict'/'model')
+    and DDP training prefixes keys with 'module.' — both must unwrap."""
+    torch.manual_seed(4)
+    net = _TorchResNet(_TorchBasic, [2, 2, 2, 2], num_classes=3, expansion=1)
+    sd = {f"module.{k}": v for k, v in net.state_dict().items()}
+    wrapped = {"state_dict": sd, "epoch": 7}
+    flat, stats = convert_state_dict(wrapped, "resnet18")
+    assert "conv_stem/kernel" in flat and "bn_stem/mean" in stats
+    assert flat["head/bias"].shape == (3,)
+
+
+def test_convert_torch_checkpoint_file_roundtrip(tmp_path):
+    """File-level tool: torch.save'd state_dict → repo checkpoint consumable
+    by load_checkpoint + pruning."""
+    from imageclassification_tpu.checkpoint.io import load_checkpoint
+    from imageclassification_tpu.checkpoint.torch_convert import (
+        convert_torch_checkpoint,
+    )
+
+    torch.manual_seed(5)
+    net = _TorchResNet(_TorchBasic, [2, 2, 2, 2], num_classes=6, expansion=1)
+    src = tmp_path / "torch_r18.pth"
+    torch.save(net.state_dict(), src)
+    out = convert_torch_checkpoint(str(src), "resnet18", str(tmp_path / "o.pth"))
+    ck = load_checkpoint(out)
+    assert ck["model_spec"] == {"name": "resnet18",
+                                "kwargs": {"num_classes": 6}}
+    assert ck["num_classes"] == 6  # inferred from the head
+    model = create_model("resnet18", num_classes=6)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 32, 32, 3)), train=False,
+    )
+    _, missing = load_params_with_pruning(variables["params"], ck["model"])
+    assert missing == 0
+
+
+def test_unknown_family_raises():
+    with pytest.raises(ValueError, match="efficientvit"):
+        convert_state_dict({}, "efficientvit_m0")
