@@ -16,6 +16,12 @@ Forward + custom VJP:
 Scope: stride 1, SAME padding (pad 3), kernel 7×7 — the only configuration
 ConvNeXt uses. Falls back to lax.conv for other configs or when the padded
 image block would not fit comfortably in VMEM (large detection inputs).
+
+VERDICT (round 2, real v5e, benchmarks/dwconv_bench.json): XLA's grouped-conv
+lowering beats this kernel 4-5× at every ConvNeXt stage shape — its sliding
+window reuses rows in registers where this kernel re-reads VMEM 49×. The
+model path therefore uses XLA; this kernel is kept as the measured baseline
+for a future register-blocked attempt.
 """
 
 from __future__ import annotations
