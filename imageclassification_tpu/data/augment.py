@@ -145,8 +145,10 @@ class AugmentPipeline:
     def __call__(self, images_u8, rng):
         """uint8 [B,H,W,3] → normalized float32 [B,H,W,3]."""
         k_flip, k_aa, k_erase = jax.random.split(rng, 3)
-        x = images_u8.astype(jnp.float32)
-        x = random_flips(x, k_flip, 0.5, 0.5)
+        # flip while still uint8 — the materialized `rev` tensors cost 4x
+        # less HBM traffic than after the float32 conversion
+        x = random_flips(images_u8, k_flip, 0.5, 0.5)
+        x = x.astype(jnp.float32)
         if self.aa_kind == "rand":
             x = rand_augment_batch(x, k_aa, self.aa)
         elif self.aa_kind == "abel":
