@@ -4,16 +4,36 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ## Roofline (the vs_baseline denominator)
 
-v5e bf16 peak = 197 TFLOP/s. ResNet-50 at 224² is 4.1 G multiply-accumulates
-per image forward — i.e. 8.2 GFLOP with the 2-flops-per-MAC convention XLA's
-cost analysis uses (measured: lowering the batch-128 forward reports
-1.05e12 flops = 8.2 GFLOP/img; see benchmarks/profile_128.json). Training is
-~3x forward (fwd + dgrad + wgrad):
+A roofline is the *binding* hardware bound: time >= max(T_mxu, T_hbm).
 
-    roofline = 197e12 / (3 x 8.2e9) = 8.0k img/s/chip,  target = 0.9 x that.
+Compute term: v5e bf16 peak = 197 TFLOP/s. ResNet-50 at 224² is 8.2 GFLOP
+per image forward with the 2-flops-per-MAC convention XLA's cost analysis
+uses (measured: lowering the batch-128 forward reports 1.05e12 flops;
+BREAKDOWN.md). Training is ~3x forward (fwd + dgrad + wgrad):
+T_mxu = 3 x 8.2e9 / 197e12 = 124.9 us/img.
 
-(Round-1 bench divided by 4.1e9, silently treating MACs as FLOPs and
-doubling the target; corrected here with the cost-analysis receipt.)
+Memory term: training ResNet-50+BN is memory-bound on v5e (819 GB/s HBM) —
+see benchmarks/BREAKDOWN.md. Minimum HBM traffic per image, assuming IDEAL
+kernels (BN stats fused into conv epilogues, apply fused into consumer
+reads — beyond what XLA can express):
+  - activations: 11.4e6 elements/img in bf16 = 22.8 MB (counted from the
+    model; matches the compiled-HLO census). Fwd: 1 write + 1 read = 2
+    passes. Bwd: gradient 1 write + 1 read + one re-read of the forward
+    residuals (wgrad/BN-bwd) = 3 passes. Total 5 x 22.8 MB = 114 MB/img.
+  - optimizer: adamw touches g,m,v,p fp32 ~8 passes x 102 MB / batch.
+  - input: uint8 read + fp32 augmented write/read ~ 1.4 MB/img.
+T_hbm(B=128) = (5*A*B + 8*P*4 + in*B)/819e9 = 19.0 ms/step = 149 us/img.
+
+    roofline = B / max(T_mxu*B, T_hbm) -> 6.7k img/s/chip at B=128
+    target = 0.9 x that = 6.05k img/s.
+
+(Round-1 divided peak by 3 x 4.1e9 MACs — double-counting the target by
+treating MACs as FLOPs. Round-2 first corrected that to the pure-FLOP
+roofline of 8.0k img/s, then replaced it with this composite: a FLOP-only
+denominator assumes train-mode BatchNorm moves zero HBM bytes, which no
+implementation on this chip can achieve. The memory term is the binding
+one and is itself idealized — it credits kernel fusions XLA cannot
+currently express, so 100% of this roofline is unreachable in practice.)
 
 ## Measurement
 
@@ -46,9 +66,24 @@ import time
 import numpy as np
 
 V5E_BF16_PEAK = 197e12
+V5E_HBM_BW = 819e9
 TRAIN_FLOPS_PER_IMG = 3 * 8.2e9          # fwd+dgrad+wgrad, 2 flops per MAC
-ROOFLINE_IMG_S = V5E_BF16_PEAK / TRAIN_FLOPS_PER_IMG
-TARGET_IMG_S = 0.9 * ROOFLINE_IMG_S
+ACT_BYTES_PER_IMG = 11.4e6 * 2           # bf16 activation elements (receipt: BREAKDOWN.md)
+PARAM_BYTES = 25.6e6 * 4                 # fp32 params
+INPUT_BYTES_PER_IMG = 224 * 224 * 3 * (1 + 2 * 4)   # u8 read + f32 aug W+R
+
+
+def roofline_img_s(batch: int) -> float:
+    """Binding composite roofline (see module docstring): img/s at `batch`."""
+    t_mxu = batch * TRAIN_FLOPS_PER_IMG / V5E_BF16_PEAK
+    step_bytes = (5 * ACT_BYTES_PER_IMG * batch     # act fwd W+R, bwd W+R+reread
+                  + 8 * PARAM_BYTES                 # adamw g/m/v/p passes
+                  + INPUT_BYTES_PER_IMG * batch)
+    t_hbm = step_bytes / V5E_HBM_BW
+    return batch / max(t_mxu, t_hbm)
+
+
+TARGET_IMG_S = 0.9 * roofline_img_s(128)
 
 
 def _build(batch, acc_mode="exact", model_name="resnet50"):
@@ -107,22 +142,35 @@ def time_scan(step_fn, fresh_state, data, k_lo=8, k_hi=24):
             def body(st, _):
                 st, metrics = step_fn(st, data, jax.random.key(1))
                 return st, metrics["loss"]
-            return jax.lax.scan(body, state, None, length=K)[1]
-        return jax.jit(scanned, donate_argnums=(0,))
+            # return the final carry too: a discarded carry defeats input
+            # donation (XLA warns) and double-buffers every state leaf in
+            # the loop (~1400 small copies/step in the device trace) — an
+            # overhead the real host-dispatched train loop does not pay.
+            # No donate: the tunneled relay backend rejects executables
+            # whose outputs alias donated inputs; the once-per-dispatch
+            # input->carry copy this costs is ~0.4 ms amortized over K
+            # steps and cancels in the K_hi-K_lo difference anyway.
+            return jax.lax.scan(body, state, None, length=K)
+        return jax.jit(scanned)
 
     times = {}
     for K in (k_lo, k_hi):
         f = make(K)
-        np.asarray(f(fresh_state(), data))  # compile + warm; FETCH to sync
+        # chain the returned carry into the next call (like the real train
+        # loop): the donated input aliases the returned state, so no buffer
+        # is ever freed while aliased (the tunneled relay backend breaks if
+        # a donated-aliased output is dropped)
+        st = fresh_state()
+        st, losses = f(st, data)
+        np.asarray(losses)  # compile + warm; FETCH to sync
         best = float("inf")
         for _ in range(3):
-            st = fresh_state()
-            jax.block_until_ready(st)
             t0 = time.perf_counter()
             # fetching the [K] losses is the only reliable sync on tunneled
             # relays (block_until_ready can return without a round trip);
             # the constant fetch RTT cancels in the K_hi-K_lo difference
-            np.asarray(f(st, data))
+            st, losses = f(st, data)
+            np.asarray(losses)
             best = min(best, time.perf_counter() - t0)
         times[K] = best
     return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
