@@ -101,6 +101,7 @@ def _build(batch, acc_mode="exact", model_name="resnet50"):
         model=model_name, input_size=size, batch_size=batch,
         mixup=0.8, smoothing=0.1, reprob=0.25, color_jitter=0.3,
         half_precision=True, train_acc_mode=acc_mode,
+        remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
     )
     kwargs = {}
     if model_name.startswith("efficientvit"):

@@ -14,6 +14,9 @@ Supported layouts (key naming families):
     and timm naming (stem/stages.i.blocks.j.conv_dw/mlp.fc1/...)
   * ViT — timm naming (cls_token/pos_embed/patch_embed.proj/blocks.{i}.
     norm1/attn.qkv/attn.proj/norm2/mlp.fc1/fc2/norm/head)
+  * EfficientViT (MSRA) — microsoft/Cream hub naming (patch_embed.{0,2,4,6},
+    blocks{1-3} with Residual/Conv2d_BN/FFN/CascadedGroupAttention
+    submodules, BN_Linear head) — the reference's default model family
 
 All conversion is pure numpy on a {key: ndarray} dict, so tests can exercise
 it with torch-layout fixtures and the tool works on any pickled state_dict.
@@ -234,6 +237,100 @@ def convert_vit(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
     return params, {}
 
 
+# ------------------------------------------------------------- EfficientViT
+
+
+def convert_efficientvit(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    """MSRA EfficientViT (Cream repo / hub .pth) layout → repo layout.
+
+    Source naming (microsoft/Cream EfficientViT classification model):
+      patch_embed.{0,2,4,6}.{c,bn}            4x Conv2d_BN stem
+      blocks{1,2,3}.{i}...                    stages; in blocks2/blocks3 the
+        first three entries are the subsample sandwich appended by the
+        previous stage (Sequential(Residual dw, Residual FFN), PatchMerging,
+        Sequential(Residual dw, Residual FFN)), then EfficientViTBlocks
+      <block>.{dw0,dw1}.m.{c,bn}              Residual depthwise Conv2d_BN
+      <block>.{ffn0,ffn1}.m.{pw1,pw2}.{c,bn}  Residual FFN
+      <block>.mixer.m.attn.{qkvs.i,dws.i}.{c,bn} cascaded group attention
+      <block>.mixer.m.attn.proj.1.{c,bn}      ReLU->Conv2d_BN projection
+      <block>.mixer.m.attn.attention_biases   [heads, n_offsets]
+      head.{bn,l}                             BN_Linear classifier
+    """
+    params: Flat = {}
+    stats: Flat = {}
+
+    def cbn(dst: str, src: str) -> None:
+        """Conv2d_BN (attrs c + bn) → ConvBN (Conv_0 + BatchNorm_0)."""
+        params[f"{dst}/Conv_0/kernel"] = _conv(sd[f"{src}.c.weight"])
+        params[f"{dst}/BatchNorm_0/scale"] = sd[f"{src}.bn.weight"]
+        params[f"{dst}/BatchNorm_0/bias"] = sd[f"{src}.bn.bias"]
+        stats[f"{dst}/BatchNorm_0/mean"] = sd[f"{src}.bn.running_mean"]
+        stats[f"{dst}/BatchNorm_0/var"] = sd[f"{src}.bn.running_var"]
+
+    def block(dst: str, src: str) -> None:
+        cbn(f"{dst}/dw0", f"{src}.dw0.m")
+        cbn(f"{dst}/ffn0/ConvBN_0", f"{src}.ffn0.m.pw1")
+        cbn(f"{dst}/ffn0/ConvBN_1", f"{src}.ffn0.m.pw2")
+        attn_src = f"{src}.mixer.m.attn"
+        attn_dst = f"{dst}/mixer/attn"
+        params[f"{attn_dst}/attention_biases"] = sd[
+            f"{attn_src}.attention_biases"
+        ]
+        i = 0
+        while f"{attn_src}.qkvs.{i}.c.weight" in sd:
+            cbn(f"{attn_dst}/qkv{i}", f"{attn_src}.qkvs.{i}")
+            cbn(f"{attn_dst}/dw_q{i}", f"{attn_src}.dws.{i}")
+            i += 1
+        cbn(f"{attn_dst}/proj", f"{attn_src}.proj.1")
+        cbn(f"{dst}/dw1", f"{src}.dw1.m")
+        cbn(f"{dst}/ffn1/ConvBN_0", f"{src}.ffn1.m.pw1")
+        cbn(f"{dst}/ffn1/ConvBN_1", f"{src}.ffn1.m.pw2")
+
+    for i, t in enumerate((0, 2, 4, 6)):
+        cbn(f"patch_embed{i}", f"patch_embed.{t}")
+
+    for s in range(3):
+        src_stage = f"blocks{s + 1}"
+        offset = 0
+        if s > 0:
+            # subsample sandwich appended by stage s-1 (indices 0, 1, 2)
+            cbn(f"sub{s}_dw0", f"{src_stage}.0.0.m")
+            cbn(f"sub{s}_ffn0/ConvBN_0", f"{src_stage}.0.1.m.pw1")
+            cbn(f"sub{s}_ffn0/ConvBN_1", f"{src_stage}.0.1.m.pw2")
+            merge = f"{src_stage}.1"
+            cbn(f"sub{s}_merge/ConvBN_0", f"{merge}.conv1")
+            cbn(f"sub{s}_merge/ConvBN_1", f"{merge}.conv2")
+            se = f"{merge}.se"
+            for j, names in enumerate((("fc1", "conv_reduce"),
+                                       ("fc2", "conv_expand"))):
+                src_se = next(
+                    f"{se}.{n}" for n in names if f"{se}.{n}.weight" in sd
+                )
+                params[f"sub{s}_merge/SqueezeExcite_0/Conv_{j}/kernel"] = _conv(
+                    sd[f"{src_se}.weight"]
+                )
+                params[f"sub{s}_merge/SqueezeExcite_0/Conv_{j}/bias"] = sd[
+                    f"{src_se}.bias"
+                ]
+            cbn(f"sub{s}_merge/ConvBN_2", f"{merge}.conv3")
+            cbn(f"sub{s}_dw1", f"{src_stage}.2.0.m")
+            cbn(f"sub{s}_ffn1/ConvBN_0", f"{src_stage}.2.1.m.pw1")
+            cbn(f"sub{s}_ffn1/ConvBN_1", f"{src_stage}.2.1.m.pw2")
+            offset = 3
+        b = 0
+        while f"{src_stage}.{offset + b}.dw0.m.c.weight" in sd:
+            block(f"stage{s}_block{b}", f"{src_stage}.{offset + b}")
+            b += 1
+
+    params["head_bn/scale"] = sd["head.bn.weight"]
+    params["head_bn/bias"] = sd["head.bn.bias"]
+    stats["head_bn/mean"] = sd["head.bn.running_mean"]
+    stats["head_bn/var"] = sd["head.bn.running_var"]
+    params["head/kernel"] = _t(sd["head.l.weight"])
+    params["head/bias"] = sd["head.l.bias"]
+    return params, stats
+
+
 # ------------------------------------------------------------------- dispatch
 
 
@@ -253,12 +350,11 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
         return convert_convnext(sd, model_name)
     if model_name.startswith("vit"):
         return convert_vit(sd, model_name)
+    if model_name.startswith("efficientvit"):
+        return convert_efficientvit(sd, model_name)
     raise ValueError(
         f"no torch converter for model family of {model_name!r} "
-        "(supported: resnet*, convnext*, vit*; efficientvit is not yet "
-        "mapped — its timm layout fuses BN into cascaded-attention convs "
-        "and has no shape-stable correspondence to train from hub weights; "
-        "use repo checkpoints for transfer there)"
+        "(supported: resnet*, convnext*, vit*, efficientvit*)"
     )
 
 

@@ -347,5 +347,233 @@ def test_convert_torch_checkpoint_file_roundtrip(tmp_path):
 
 
 def test_unknown_family_raises():
-    with pytest.raises(ValueError, match="efficientvit"):
-        convert_state_dict({}, "efficientvit_m0")
+    with pytest.raises(ValueError, match="no torch converter"):
+        convert_state_dict({}, "mobilenetv3_large")
+
+
+# ----------------------------------------------- MSRA EfficientViT mirror --
+# Replicates microsoft/Cream EfficientViT (the hub layout timm's
+# efficientvit_m* checkpoints are filtered from): Conv2d_BN as Sequential
+# (c, bn), Residual wrapper attr m, FFN pw1/pw2, CascadedGroupAttention
+# qkvs/dws/proj + attention_biases, PatchMerging conv1/conv2/se/conv3,
+# BN_Linear head (bn, l).
+
+import itertools  # noqa: E402
+
+
+class _C2BN(tnn.Sequential):
+    def __init__(self, a, b, ks=1, stride=1, pad=0, groups=1):
+        super().__init__()
+        self.add_module("c", tnn.Conv2d(a, b, ks, stride, pad,
+                                        groups=groups, bias=False))
+        self.add_module("bn", tnn.BatchNorm2d(b))
+
+
+class _EvRes(tnn.Module):
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, x):
+        return x + self.m(x)
+
+
+class _EvFFN(tnn.Module):
+    def __init__(self, ed, h):
+        super().__init__()
+        self.pw1 = _C2BN(ed, h)
+        self.act = tnn.ReLU()
+        self.pw2 = _C2BN(h, ed)
+
+    def forward(self, x):
+        return self.pw2(self.act(self.pw1(x)))
+
+
+class _EvSE(tnn.Module):
+    """timm SEModule layout (fc1/fc2 1x1 convs with bias)."""
+
+    def __init__(self, c, rd_ratio=0.25):
+        super().__init__()
+        rd = int(c * rd_ratio)
+        self.fc1 = tnn.Conv2d(c, rd, 1)
+        self.fc2 = tnn.Conv2d(rd, c, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = torch.relu(self.fc1(s))
+        return x * torch.sigmoid(self.fc2(s))
+
+
+class _EvCGA(tnn.Module):
+    def __init__(self, dim, key_dim, num_heads, resolution, kernels):
+        super().__init__()
+        self.num_heads = num_heads
+        self.key_dim = key_dim
+        self.scale = key_dim ** -0.5
+        self.d = dim // num_heads
+        self.qkvs = tnn.ModuleList(
+            _C2BN(dim // num_heads, key_dim * 2 + self.d)
+            for _ in range(num_heads)
+        )
+        self.dws = tnn.ModuleList(
+            _C2BN(key_dim, key_dim, kernels[i], 1, kernels[i] // 2,
+                  groups=key_dim)
+            for i in range(num_heads)
+        )
+        self.proj = tnn.Sequential(tnn.ReLU(),
+                                   _C2BN(self.d * num_heads, dim))
+        points = list(itertools.product(range(resolution), range(resolution)))
+        offsets, idxs = {}, []
+        for p1 in points:
+            for p2 in points:
+                off = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
+                if off not in offsets:
+                    offsets[off] = len(offsets)
+                idxs.append(offsets[off])
+        self.attention_biases = tnn.Parameter(
+            torch.zeros(num_heads, len(offsets))
+        )
+        self.register_buffer(
+            "attention_bias_idxs",
+            torch.LongTensor(idxs).view(len(points), len(points)),
+        )
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        ab = self.attention_biases[:, self.attention_bias_idxs]
+        feats_in = x.chunk(self.num_heads, dim=1)
+        feats_out = []
+        feat = feats_in[0]
+        for i, qkv in enumerate(self.qkvs):
+            if i > 0:
+                feat = feat + feats_in[i]
+            feat = qkv(feat)
+            q, k, v = feat.split([self.key_dim, self.key_dim, self.d], dim=1)
+            q = self.dws[i](q)
+            q, k, v = (t.flatten(2) for t in (q, k, v))
+            attn = (q.transpose(-2, -1) @ k) * self.scale + ab[i]
+            attn = attn.softmax(dim=-1)
+            feat = (v @ attn.transpose(-2, -1)).view(B, self.d, H, W)
+            feats_out.append(feat)
+        return self.proj(torch.cat(feats_out, 1))
+
+
+class _EvLWA(tnn.Module):
+    def __init__(self, dim, key_dim, num_heads, resolution, window, kernels):
+        super().__init__()
+        self.wr = min(window, resolution)
+        self.attn = _EvCGA(dim, key_dim, num_heads, self.wr, kernels)
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        wr = self.wr
+        if H <= wr and W <= wr:
+            return self.attn(x)
+        x = x.permute(0, 2, 3, 1)
+        pad_b, pad_r = (wr - H % wr) % wr, (wr - W % wr) % wr
+        x = torch.nn.functional.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+        pH, pW = H + pad_b, W + pad_r
+        nH, nW = pH // wr, pW // wr
+        x = (x.view(B, nH, wr, nW, wr, C).transpose(2, 3)
+             .reshape(B * nH * nW, wr, wr, C).permute(0, 3, 1, 2))
+        x = self.attn(x)
+        x = (x.permute(0, 2, 3, 1).view(B, nH, nW, wr, wr, C)
+             .transpose(2, 3).reshape(B, pH, pW, C))
+        return x[:, :H, :W].permute(0, 3, 1, 2)
+
+
+class _EvBlock(tnn.Module):
+    def __init__(self, ed, key_dim, nh, resolution, window, kernels):
+        super().__init__()
+        self.dw0 = _EvRes(_C2BN(ed, ed, 3, 1, 1, groups=ed))
+        self.ffn0 = _EvRes(_EvFFN(ed, ed * 2))
+        self.mixer = _EvRes(
+            _EvLWA(ed, key_dim, nh, resolution, window, kernels)
+        )
+        self.dw1 = _EvRes(_C2BN(ed, ed, 3, 1, 1, groups=ed))
+        self.ffn1 = _EvRes(_EvFFN(ed, ed * 2))
+
+    def forward(self, x):
+        return self.ffn1(self.dw1(self.mixer(self.ffn0(self.dw0(x)))))
+
+
+class _EvPatchMerging(tnn.Module):
+    def __init__(self, dim, out):
+        super().__init__()
+        hid = dim * 4
+        self.conv1 = _C2BN(dim, hid)
+        self.act = tnn.ReLU()
+        self.conv2 = _C2BN(hid, hid, 3, 2, 1, groups=hid)
+        self.se = _EvSE(hid)
+        self.conv3 = _C2BN(hid, out)
+
+    def forward(self, x):
+        return self.conv3(self.se(self.act(self.conv2(
+            self.act(self.conv1(x))))))
+
+
+class _MsraEfficientViT(tnn.Module):
+    def __init__(self, img_size=224, embed_dims=(64, 128, 192),
+                 depths=(1, 2, 3), num_heads=(4, 4, 4), window=7,
+                 key_dim=16, kernels=(5, 5, 5, 5), num_classes=1000):
+        super().__init__()
+        d0 = embed_dims[0]
+        self.patch_embed = tnn.Sequential(
+            _C2BN(3, d0 // 8, 3, 2, 1), tnn.ReLU(),
+            _C2BN(d0 // 8, d0 // 4, 3, 2, 1), tnn.ReLU(),
+            _C2BN(d0 // 4, d0 // 2, 3, 2, 1), tnn.ReLU(),
+            _C2BN(d0 // 2, d0, 3, 2, 1),
+        )
+        res = img_size // 16
+        self.blocks1 = tnn.Sequential()
+        self.blocks2 = tnn.Sequential()
+        self.blocks3 = tnn.Sequential()
+        stage_seqs = [self.blocks1, self.blocks2, self.blocks3]
+        for i, (ed, dpth, nh) in enumerate(
+            zip(embed_dims, depths, num_heads)
+        ):
+            for _ in range(dpth):
+                stage_seqs[i].append(
+                    _EvBlock(ed, key_dim, nh, res, window, kernels)
+                )
+            if i < 2:
+                nxt = embed_dims[i + 1]
+                stage_seqs[i + 1].append(tnn.Sequential(
+                    _EvRes(_C2BN(ed, ed, 3, 1, 1, groups=ed)),
+                    _EvRes(_EvFFN(ed, ed * 2)),
+                ))
+                stage_seqs[i + 1].append(_EvPatchMerging(ed, nxt))
+                res = (res - 1) // 2 + 1
+                stage_seqs[i + 1].append(tnn.Sequential(
+                    _EvRes(_C2BN(nxt, nxt, 3, 1, 1, groups=nxt)),
+                    _EvRes(_EvFFN(nxt, nxt * 2)),
+                ))
+        head = tnn.Sequential()
+        head.add_module("bn", tnn.BatchNorm1d(embed_dims[-1]))
+        head.add_module("l", tnn.Linear(embed_dims[-1], num_classes))
+        self.head = head
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        x = self.blocks3(self.blocks2(self.blocks1(x)))
+        return self.head(x.flatten(2).mean(2))
+
+
+def test_efficientvit_torch_parity():
+    torch.manual_seed(6)
+    net = _MsraEfficientViT(num_classes=5).eval()
+    _randomize_bn(net)
+    for m in net.modules():
+        if isinstance(m, tnn.BatchNorm1d):
+            with torch.no_grad():
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.4)
+        if isinstance(m, _EvCGA):
+            with torch.no_grad():
+                m.attention_biases.uniform_(-0.5, 0.5)
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    got = _flax_logits("efficientvit_m0", net.state_dict(), x.numpy(),
+                       num_classes=5)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
