@@ -358,6 +358,40 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
     )
 
 
+def resample_pos_embed(flat: Flat, target_flat: Flat) -> Flat:
+    """Bicubic-resample a ViT 'pos_embed' grid to the target token count
+    (timm resample_abs_pos_embed semantics — what the reference gets from
+    timm when creating a pretrained ViT at a non-default --input_size;
+    without this the shape-mismatch pruning would drop the embedding).
+
+    Both embeds are [1, 1+N, D] with a leading cls token and square grids;
+    anything else is left untouched (the pruning path handles it)."""
+    src = flat.get("pos_embed")
+    tgt = target_flat.get("pos_embed")
+    if src is None or tgt is None or src.shape == tuple(tgt.shape):
+        return flat
+    if src.ndim != 3 or len(tgt.shape) != 3 or src.shape[-1] != tgt.shape[-1]:
+        return flat
+    g_src = int(round((src.shape[1] - 1) ** 0.5))
+    g_tgt = int(round((tgt.shape[1] - 1) ** 0.5))
+    if g_src * g_src + 1 != src.shape[1] or g_tgt * g_tgt + 1 != tgt.shape[1]:
+        return flat
+    import jax
+
+    cls_tok, grid = src[:, :1], src[:, 1:]
+    d = src.shape[-1]
+    grid = grid.reshape(1, g_src, g_src, d).astype(np.float32)
+    grid = np.asarray(
+        jax.image.resize(grid, (1, g_tgt, g_tgt, d), method="bicubic")
+    )
+    out = dict(flat)
+    out["pos_embed"] = np.concatenate(
+        [cls_tok, grid.reshape(1, g_tgt * g_tgt, d)], axis=1
+    ).astype(src.dtype)
+    print(f"Resized pos_embed grid {g_src}x{g_src} -> {g_tgt}x{g_tgt}")
+    return out
+
+
 def load_pretrained_flat(path: str, model_name: str) -> dict:
     """Load pretrained weights from EITHER a repo checkpoint (plain pickle
     with a 'model' flat dict) or a raw torch/timm state_dict file (torch zip

@@ -351,6 +351,42 @@ def test_unknown_family_raises():
         convert_state_dict({}, "mobilenetv3_large")
 
 
+def test_resample_pos_embed():
+    """ViT pos_embed grid resampling (timm resample_abs_pos_embed semantics
+    for pretrained loads at a non-source --input_size)."""
+    from imageclassification_tpu.checkpoint.torch_convert import (
+        resample_pos_embed,
+    )
+
+    rng = np.random.default_rng(0)
+    d = 8
+    src = {"pos_embed": rng.normal(size=(1, 1 + 14 * 14, d)).astype(np.float32),
+           "other": np.ones(3, np.float32)}
+    tgt = {"pos_embed": np.zeros((1, 1 + 7 * 7, d), np.float32)}
+    out = resample_pos_embed(src, tgt)
+    assert out["pos_embed"].shape == (1, 50, d)
+    # cls token passes through untouched
+    np.testing.assert_array_equal(out["pos_embed"][:, 0], src["pos_embed"][:, 0])
+    # grid values stay in the convex-ish hull of the source (bicubic can
+    # overshoot slightly; just check finiteness + rough range)
+    assert np.isfinite(out["pos_embed"]).all()
+    # constant grid resamples to the same constant
+    const = dict(src)
+    const["pos_embed"] = np.concatenate(
+        [np.full((1, 1, d), 5.0, np.float32),
+         np.full((1, 196, d), 2.0, np.float32)], axis=1
+    )
+    out2 = resample_pos_embed(const, tgt)
+    np.testing.assert_allclose(out2["pos_embed"][:, 1:], 2.0, atol=1e-5)
+    # same shape → untouched (identity), non-square grids → untouched
+    assert resample_pos_embed(src, {"pos_embed": src["pos_embed"]}) is src
+    odd = {"pos_embed": np.zeros((1, 1 + 13, d), np.float32)}
+    assert resample_pos_embed(src, odd) is src
+    # upsampling works too and feeds the pruning path with a matching shape
+    up = {"pos_embed": np.zeros((1, 1 + 16 * 16, d), np.float32)}
+    assert resample_pos_embed(src, up)["pos_embed"].shape == (1, 257, d)
+
+
 # ----------------------------------------------- MSRA EfficientViT mirror --
 # Replicates microsoft/Cream EfficientViT (the hub layout timm's
 # efficientvit_m* checkpoints are filtered from): Conv2d_BN as Sequential

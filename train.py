@@ -170,9 +170,18 @@ def main(args: TrainConfig):
     if args.pretrained and args.pretrained_path:
         from imageclassification_tpu.checkpoint.torch_convert import (
             load_pretrained_flat,
+            resample_pos_embed,
         )
         ck = load_pretrained_flat(args.pretrained_path, args.model)
-        new_params, _ = ckpt_io.load_params_with_pruning(state.params, ck["model"])
+        src_flat = ck["model"]
+        if "pos_embed" in state.params:  # works for dict and FrozenDict
+            # ViT at a non-source --input_size: bicubic-resample the position
+            # grid like timm does for pretrained hub weights, instead of
+            # letting the shape-mismatch pruning drop it
+            src_flat = resample_pos_embed(
+                src_flat, {"pos_embed": state.params["pos_embed"]}
+            )
+        new_params, _ = ckpt_io.load_params_with_pruning(state.params, src_flat)
         state = state.replace(params=new_params)
         if ck.get("batch_stats") and state.batch_stats:
             new_stats, _ = ckpt_io.load_params_with_pruning(
