@@ -119,3 +119,50 @@ def test_end_to_end_update_freq(toy_dataset, tmp_path):
     lines = [_json.loads(l) for l in open(out.parent / "log.txt")]
     assert len(lines) == 2
     assert lines[-1]["train_loss"] < lines[0]["train_loss"] * 1.5  # sane
+
+
+@pytest.mark.slow
+def test_preemption_signal_checkpoints_and_resumes(
+    toy_dataset, tmp_path, capsys, monkeypatch
+):
+    """SIGTERM mid-run → checkpoint after the current epoch + clean exit;
+    a relaunch auto-resumes at epoch+1 (SLURM grace-signal path on top of
+    the reference's submitit requeue, run_with_submitit.py:48-56)."""
+    import signal as _signal
+
+    import train as train_cli
+
+    real = train_cli.train_one_epoch
+    calls = {"n": 0}
+
+    def wrapped(*a, **kw):
+        out = real(*a, **kw)
+        if calls["n"] == 0:  # deliver the grace signal during epoch 0
+            _signal.raise_signal(_signal.SIGTERM)
+        calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(train_cli, "train_one_epoch", wrapped)
+    # save_ckpt_freq=3: epoch 0 would NOT normally checkpoint — only the
+    # preemption path can produce checkpoint-0.pth
+    cfg = _base_cfg(toy_dataset, tmp_path, epochs=4, save_ckpt_freq=3)
+    train_cli.main(cfg)
+    captured = capsys.readouterr().out
+    assert "Received signal" in captured
+    assert "Preemption checkpoint at epoch 0" in captured
+
+    out = tmp_path / "output"
+    assert (out / "checkpoint-0.pth").exists()
+    assert not (out / "checkpoint-1.pth").exists()
+    lines = [json.loads(l) for l in open(out.parent / "log.txt")]
+    assert len(lines) == 1  # exactly one epoch ran
+
+    # requeued job resumes at epoch 1 (auto_resume scan)
+    monkeypatch.setattr(train_cli, "train_one_epoch", real)
+    cfg2 = _base_cfg(toy_dataset, tmp_path, epochs=2, save_ckpt_freq=3)
+    train_cli.main(cfg2)
+    captured = capsys.readouterr().out
+    assert "Auto resume checkpoint" in captured
+    lines = [json.loads(l) for l in open(out.parent / "log.txt")]
+    assert len(lines) == 2
+    assert lines[-1]["epoch"] == 1

@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import signal
 import time
 from pathlib import Path
 
@@ -270,6 +271,22 @@ def main(args: TrainConfig):
             print(f"profiler unavailable: {e}")
             args = args.replace(profile_dir="")
 
+    # graceful preemption (reference relies on submitit's requeue alone,
+    # run_with_submitit.py:48-56; here SLURM's grace signal additionally
+    # flushes a checkpoint so the requeued job loses at most one epoch even
+    # when save_ckpt_freq > 1)
+    preempted = {"flag": False}
+
+    def _on_preempt(signum, frame):
+        print(f"Received signal {signum}: checkpoint + stop after this epoch")
+        preempted["flag"] = True
+
+    for _sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            signal.signal(_sig, _on_preempt)
+        except (ValueError, OSError):
+            pass  # not the main thread / unsupported platform
+
     print("Start training for %d epochs" % args.epochs)
     start_time = time.time()
     for epoch in range(args.start_epoch, args.epochs):
@@ -368,6 +385,21 @@ def main(args: TrainConfig):
 
         if wandb_logger:
             wandb_logger.log_epoch_metrics(log_stats)
+
+        if preempted["flag"]:
+            already = (epoch + 1) % args.save_ckpt_freq == 0 or (
+                epoch + 1 == args.epochs
+            )
+            if args.save_ckpt and not already:
+                ckpt_io.save_model(
+                    args, input_shape, epoch, state, num_classes, model_spec
+                )
+            print(
+                f"Preemption checkpoint at epoch {epoch}; exiting cleanly "
+                "for requeue (auto_resume continues at epoch "
+                f"{epoch + 1})"
+            )
+            break
 
     if args.profile_dir and global_rank == 0:
         jax.profiler.stop_trace()
