@@ -334,3 +334,32 @@ def test_abel_latent_ops_lighting_gray_and_sample_pairing():
     w = w_implied[valid]
     assert w.min() > -1e-5 and w.max() < 0.4 + 1e-5
     assert np.allclose(w, w.flat[0], atol=1e-5)  # single weight per call
+
+
+def test_color_jitter_fused_matches_op_chain():
+    """The composed color_jitter_batch expression must equal chaining the
+    PIL-golden I.adjust_brightness/contrast/saturation ops (same per-sample
+    factors drawn from the same keys)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imageclassification_tpu.data.augment import color_jitter_batch
+    from imageclassification_tpu.ops import image as I
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 256, (4, 17, 23, 3)), jnp.float32)
+    key = jax.random.key(42)
+    strength = 0.4
+
+    got = color_jitter_batch(imgs, key, strength)
+
+    kb, kc, ks = jax.random.split(key, 3)
+    lo, hi = 1.0 - strength, 1.0 + strength
+    fb = jax.random.uniform(kb, (4, 1, 1, 1), minval=lo, maxval=hi)[:, 0, 0, 0]
+    fc = jax.random.uniform(kc, (4, 1, 1, 1), minval=lo, maxval=hi)[:, 0, 0, 0]
+    fs = jax.random.uniform(ks, (4, 1, 1, 1), minval=lo, maxval=hi)[:, 0, 0, 0]
+    want = jax.vmap(I.adjust_brightness)(imgs, fb)
+    want = jax.vmap(I.adjust_contrast)(want, fc)
+    want = jax.vmap(I.adjust_saturation)(want, fs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-3)
