@@ -19,21 +19,24 @@ reads — beyond what XLA can express):
   - activations: 11.4e6 elements/img in bf16 = 22.8 MB (counted from the
     model; matches the compiled-HLO census). Fwd: 1 write + 1 read = 2
     passes. Bwd: gradient 1 write + 1 read + one re-read of the forward
-    residuals (wgrad/BN-bwd) = 3 passes. Total 5 x 22.8 MB = 114 MB/img.
+    residuals (wgrad/BN-bwd) = 3 passes.
   - optimizer: adamw touches g,m,v,p fp32 ~8 passes x 102 MB / batch.
   - input: uint8 read + fp32 augmented write/read ~ 1.4 MB/img.
-T_hbm(B=128) = (5*A*B + 8*P*4 + in*B)/819e9 = 19.0 ms/step = 149 us/img.
 
-    roofline = B / max(T_mxu*B, T_hbm) -> 6.7k img/s/chip at B=128
-    target = 0.9 x that = 6.05k img/s.
+The WORKLOAD is the default train step, which in mixup mode includes the
+reference's metric forward on the un-mixed batch (engine.py:89-97): one
+more forward of FLOPs (4 x 8.2 GFLOP total) and 2 more activation passes
+(7 total = 160 MB/img). At B=128:
+  T_mxu = 166.5 us/img, T_hbm = 204 us/img (binding)
+    roofline = 4.9k img/s/chip, target = 0.9 x that = 4.4k img/s.
 
 (Round-1 divided peak by 3 x 4.1e9 MACs — double-counting the target by
-treating MACs as FLOPs. Round-2 first corrected that to the pure-FLOP
-roofline of 8.0k img/s, then replaced it with this composite: a FLOP-only
-denominator assumes train-mode BatchNorm moves zero HBM bytes, which no
-implementation on this chip can achieve. The memory term is the binding
-one and is itself idealized — it credits kernel fusions XLA cannot
-currently express, so 100% of this roofline is unreachable in practice.)
+treating MACs as FLOPs. Round-2 corrected that to the pure-FLOP roofline,
+then replaced it with this composite: a FLOP-only denominator assumes
+train-mode BatchNorm moves zero HBM bytes, which no implementation on
+this chip can achieve. The memory term is the binding one and is itself
+idealized — it credits kernel fusions XLA cannot currently express, so
+100% of this roofline is unreachable in practice.)
 
 ## Measurement
 
@@ -73,17 +76,25 @@ PARAM_BYTES = 25.6e6 * 4                 # fp32 params
 INPUT_BYTES_PER_IMG = 224 * 224 * 3 * (1 + 2 * 4)   # u8 read + f32 aug W+R
 
 
-def roofline_img_s(batch: int) -> float:
-    """Binding composite roofline (see module docstring): img/s at `batch`."""
-    t_mxu = batch * TRAIN_FLOPS_PER_IMG / V5E_BF16_PEAK
-    step_bytes = (5 * ACT_BYTES_PER_IMG * batch     # act fwd W+R, bwd W+R+reread
-                  + 8 * PARAM_BYTES                 # adamw g/m/v/p passes
+def roofline_img_s(batch: int, acc_mode: str = "exact") -> float:
+    """Binding composite roofline (see module docstring): img/s at `batch`.
+
+    The workload is the DEFAULT train step, which in mixup mode includes the
+    reference-parity metric forward on the un-mixed batch (engine.py:89-97)
+    — one extra forward of FLOPs and 2 extra activation passes. 'mixed'
+    drops it (--train_acc_mode mixed)."""
+    metric_fwd = 1 if acc_mode == "exact" else 0
+    flops_per_img = (3 + metric_fwd) * 8.2e9
+    act_passes = 5 + 2 * metric_fwd
+    t_mxu = batch * flops_per_img / V5E_BF16_PEAK
+    step_bytes = (act_passes * ACT_BYTES_PER_IMG * batch  # fwd W+R, bwd W+R+reread
+                  + 8 * PARAM_BYTES                       # adamw g/m/v/p passes
                   + INPUT_BYTES_PER_IMG * batch)
     t_hbm = step_bytes / V5E_HBM_BW
     return batch / max(t_mxu, t_hbm)
 
 
-TARGET_IMG_S = 0.9 * roofline_img_s(128)
+TARGET_IMG_S = 0.9 * roofline_img_s(128, "exact")
 
 
 def _build(batch, acc_mode="exact", model_name="resnet50"):
@@ -142,7 +153,12 @@ def time_scan(step_fn, fresh_state, data, k_lo=8, k_hi=24):
         def scanned(state, data):
             def body(st, _):
                 st, metrics = step_fn(st, data, jax.random.key(1))
-                return st, metrics["loss"]
+                # return the FULL metrics pytree: discarding all but the
+                # loss lets XLA dead-code-eliminate the metric computations
+                # — including the parity second forward in 'exact' mode
+                # (~9.5 ms at batch 128) — which the real train loop pays
+                # every step (engine/loop.py consumes every metric)
+                return st, metrics
             # return the final carry too: a discarded carry defeats input
             # donation (XLA warns) and double-buffers every state leaf in
             # the loop (~1400 small copies/step in the device trace) — an
@@ -162,16 +178,16 @@ def time_scan(step_fn, fresh_state, data, k_lo=8, k_hi=24):
         # is ever freed while aliased (the tunneled relay backend breaks if
         # a donated-aliased output is dropped)
         st = fresh_state()
-        st, losses = f(st, data)
-        np.asarray(losses)  # compile + warm; FETCH to sync
+        st, metrics = f(st, data)
+        np.asarray(metrics["loss"])  # compile + warm; FETCH to sync
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             # fetching the [K] losses is the only reliable sync on tunneled
             # relays (block_until_ready can return without a round trip);
             # the constant fetch RTT cancels in the K_hi-K_lo difference
-            st, losses = f(st, data)
-            np.asarray(losses)
+            st, metrics = f(st, data)
+            np.asarray(metrics["loss"])
             best = min(best, time.perf_counter() - t0)
         times[K] = best
     return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
@@ -211,10 +227,14 @@ def main():
                 step_fn, fresh_state, data = _build(b, acc_mode)
                 per = time_scan(step_fn, fresh_state, data)
                 key = f"batch{b}_{acc_mode}"
+                flops = (4 if acc_mode == "exact" else 3) * 8.2e9
                 sweep[key] = {
                     "ms_per_step": round(per * 1e3, 2),
                     "images_per_sec": round(b / per, 1),
-                    "mfu": round(b / per * TRAIN_FLOPS_PER_IMG / V5E_BF16_PEAK, 4),
+                    "mfu": round(b / per * flops / V5E_BF16_PEAK, 4),
+                    "vs_mode_roofline": round(
+                        b / per / roofline_img_s(b, acc_mode), 4
+                    ),
                 }
                 print(key, sweep[key], flush=True)
         out = os.path.join("benchmarks", "bench_sweep.json")

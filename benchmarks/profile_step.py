@@ -212,7 +212,11 @@ def main():
             def scanned(state0):
                 def body(state, _):
                     state, metrics = step_fn(state, data, jax.random.key(1))
-                    return state, metrics["loss"]
+                    # keep EVERY metric live: returning only the loss lets
+                    # XLA dead-code-eliminate the metric computations,
+                    # including exact-mode's parity second forward (the bug
+                    # that made step_full measure equal to step_noparity)
+                    return state, metrics
                 return jax.lax.scan(body, state0, None, length=K)[1]
             return scanned
 

@@ -45,15 +45,17 @@ def capture(model_name: str, batch: int):
     def scanned(state, data):
         def body(st, _):
             st, metrics = step_fn(st, data, jax.random.key(1))
-            return st, metrics["loss"]
+            # keep all metrics live — returning only the loss lets XLA
+            # DCE the metric computations incl. exact-mode's second forward
+            return st, metrics
         return jax.lax.scan(body, state, None, length=K)[1]
 
     f = jax.jit(scanned)
-    np.asarray(f(fresh_state(), data))  # compile + warm OUTSIDE the trace
+    np.asarray(f(fresh_state(), data)["loss"])  # compile+warm OUTSIDE the trace
 
     tmp = tempfile.mkdtemp(prefix="jax_trace_")
     jax.profiler.start_trace(tmp)
-    np.asarray(f(fresh_state(), data))
+    np.asarray(f(fresh_state(), data)["loss"])
     jax.profiler.stop_trace()
     return tmp
 
