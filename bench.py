@@ -107,16 +107,20 @@ def _build(batch, acc_mode="exact", model_name="resnet50"):
     from imageclassification_tpu.models import create_model
     from imageclassification_tpu.optim.factory import create_optimizer
 
-    size, num_classes = 224, 1000
+    size = int(os.environ.get("BENCH_SIZE", "224"))
+    num_classes = 1000
     cfg = TrainConfig(
         model=model_name, input_size=size, batch_size=batch,
         mixup=0.8, smoothing=0.1, reprob=0.25, color_jitter=0.3,
         half_precision=True, train_acc_mode=acc_mode,
         remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
+        flash_attn=bool(int(os.environ.get("BENCH_FLASH", "0"))),
     )
     kwargs = {}
     if model_name.startswith("efficientvit"):
         kwargs["img_size"] = size
+    if model_name.startswith("vit") and cfg.flash_attn:
+        kwargs["flash_attn"] = True
     model = create_model(model_name, num_classes=num_classes,
                          half_precision=True, **kwargs)
     tx = create_optimizer(cfg.opt, cfg.lr, cfg.weight_decay)

@@ -1,0 +1,146 @@
+"""Pallas TPU flash attention vs the XLA einsum attention at ViT-B shapes.
+
+ViT-B/16 at 224² runs attention over 197 tokens (14×14 + cls). The per-op
+trace (trace_ops_vit_base_patch16.json) shows ~18 ms/step of layout copies
+and materialized [B,H,197,197] attention matrices. Flash attention never
+materializes the matrix; the cost is padding 197 → 256 (block multiple)
+with segment-id masking of the padded keys.
+
+Timing: K-step lax.scan with the query chained through the carry (the
+tunneled relay memoizes pure replays), difference quotient of two scan
+lengths. Writes benchmarks/attention_bench.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os as _os
+B = int(_os.environ.get("ATTN_B", "128"))
+H, D = 12, 64
+N = int(_os.environ.get("ATTN_N", "197"))
+NPAD = max(128, -(-N // 128) * 128)
+K_LO, K_HI = 8, 24
+
+
+def einsum_attention(q, k, v):
+    """flax MultiHeadDotProductAttention's math: inputs [B, N, H, D]."""
+    import jax
+    import jax.numpy as jnp
+
+    scale = D ** -0.5
+    logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits).astype(q.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+
+def einsum_qhk_attention(q, k, v):
+    """Token-major variant: weights laid out [B, N, H, N] instead of
+    [B, H, N, N] — mathematically identical, but XLA needn't physically
+    transpose q/k/v to head-major (the `copy` ops in the ViT trace)."""
+    import jax
+    import jax.numpy as jnp
+
+    scale = D ** -0.5
+    logits = jnp.einsum("...qhd,...khd->...qhk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits).astype(q.dtype)
+    return jnp.einsum("...qhk,...khd->...qhd", weights, v)
+
+
+def flash_wrapped(q, k, v):
+    """The model's production wrapper (pad + segment-mask + Pallas kernel) —
+    single source of truth with imageclassification_tpu/models/vit.py."""
+    from imageclassification_tpu.models.vit import flash_attention_fn
+
+    return flash_attention_fn(q, k, v)
+
+
+def time_fn(fn, grad: bool, label: str):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.bfloat16)
+    k0 = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.bfloat16)
+    v0 = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.bfloat16)
+
+    if grad:
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+        step = jax.grad(loss, argnums=(0, 1, 2))
+
+        def body(carry, _):
+            q, k, v = carry
+            dq, dk, dv = step(q, k, v)
+            return (q + 1e-6 * dq.astype(q.dtype),
+                    k + 1e-6 * dk.astype(k.dtype),
+                    v + 1e-6 * dv.astype(v.dtype)), dq[0, 0, 0, 0]
+    else:
+        def body(carry, _):
+            q, k, v = carry
+            out = fn(q, k, v)
+            return (q + 1e-6 * out.astype(q.dtype), k, v), out[0, 0, 0, 0]
+
+    times = {}
+    for K in (K_LO, K_HI):
+        scanned = jax.jit(functools.partial(
+            lambda c, K: jax.lax.scan(body, c, None, length=K), K=K
+        ))
+        np.asarray(scanned((q0, k0, v0))[1])  # compile+warm, fetch to sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(scanned((q0, k0, v0))[1])
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+    per = (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
+    print(f"{label:24s} {per * 1e3:8.3f} ms", flush=True)
+    return per
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/imgcls_tpu_xla"))
+
+    # numeric parity first (bf16 tolerance)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(4, N, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(4, N, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(4, N, H, D)), jnp.bfloat16)
+    ref = np.asarray(einsum_attention(q, k, v).astype(jnp.float32))
+    got = np.asarray(flash_wrapped(q, k, v).astype(jnp.float32))
+    err = np.abs(ref - got).max()
+    print(f"max abs diff flash vs einsum: {err:.4f}")
+    assert err < 0.1, "flash attention diverges from einsum reference"
+
+    results = {"shapes": dict(B=B, H=H, N=N, D=D, pad=NPAD)}
+    for grad in (False, True):
+        tag = "fwdbwd" if grad else "fwd"
+        for label, fn in (("einsum", einsum_attention),
+                          ("einsum_qhk", einsum_qhk_attention),
+                          ("flash", flash_wrapped)):
+            per = time_fn(fn, grad, f"{label}_{tag}")
+            results[f"{label}_{tag}_ms"] = round(per * 1e3, 3)
+
+    out = Path(__file__).parent / f"attention_bench_n{N}.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

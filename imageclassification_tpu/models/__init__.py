@@ -63,4 +63,10 @@ def model_kwargs_for(args, num_classes: int) -> dict:
         kw["img_size"] = args.input_size
     elif args.model.startswith("convnext"):
         kw["drop_path_rate"] = args.drop_path
+    elif args.model.startswith("vit") and getattr(args, "flash_attn", False):
+        # Pallas TPU flash attention — measured to win 2-3x at ~1k+ tokens
+        # (ViT at 1024² images), where the einsum path's materialized
+        # attention matrices dominate; at 224²/384² XLA's einsum is faster
+        # end-to-end (benchmarks/attention_bench_n*.json), hence opt-in
+        kw["flash_attn"] = True
     return kw

@@ -21,23 +21,85 @@ from .layers import DropPath, Mlp, drop_path_rates, truncated_normal_init
 Dtype = Any
 
 
+def flash_attention_fn(query, key, value, bias=None, mask=None, **kwargs):
+    """flax `attention_fn` backed by the Pallas TPU flash-attention kernel.
+
+    Parameter-tree neutral: plugs into MultiHeadDotProductAttention, so
+    checkpoints/converters are unaffected. [B, N, H, D] in/out; the token
+    axis pads to a 128 multiple with the padded KEYS masked via segment ids
+    (queries keep one segment — padded query rows attend real keys, avoiding
+    fully-masked softmax rows, and are sliced away). Never materializes the
+    [B, H, N, N] attention matrix.
+
+    Measured (benchmarks/attention_bench_n*.json): at 197 tokens (224²) the
+    XLA einsum path wins 2x; at 577 (384²) flash wins the isolated op but
+    loses ~15% in the full step (pad/transpose + fusion-barrier overhead);
+    at 4097 tokens (1024²) flash wins 2-3x and the einsum path's ~3 GB of
+    materialized attention matrices become the binding constraint. Hence
+    opt-in via --flash_attn for high-resolution fine-tuning."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention,
+    )
+
+    assert bias is None and mask is None, "flash path takes no bias/mask"
+    B, N, H, D = query.shape
+    npad = max(128, -(-N // 128) * 128)
+    pad = npad - N
+
+    def prep(x):
+        return jnp.moveaxis(
+            jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))), 1, 2
+        )
+
+    q_seg = jnp.ones((B, npad), jnp.int32)
+    kv_seg = jnp.concatenate(
+        [jnp.ones((B, N), jnp.int32), jnp.zeros((B, pad), jnp.int32)], axis=1
+    )
+    # block size must DIVIDE the padded sequence AND be a multiple of 128;
+    # a single whole-sequence block fits VMEM comfortably up to 1024 tokens
+    if npad <= 1024:
+        blk = npad
+    else:
+        blk = next(d for d in (512, 384, 256, 128) if npad % d == 0)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = flash_attention(
+        prep(query), prep(key), prep(value),
+        segment_ids=SegmentIds(q_seg, kv_seg),
+        sm_scale=D ** -0.5, block_sizes=bs,
+    )
+    return jnp.moveaxis(out, 2, 1)[:, :N]
+
+
 class EncoderBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     drop_rate: float = 0.0
     drop_path: float = 0.0
+    flash_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # flash kernel has no attention-dropout path — fall back to the
+        # einsum attention when attention dropout is active
+        use_flash = self.flash_attn and (self.drop_rate == 0.0 or not train)
+        attn_kwargs = {}
+        if use_flash:
+            attn_kwargs["attention_fn"] = flash_attention_fn
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
             kernel_init=truncated_normal_init(),
             deterministic=not train,
-            dropout_rate=self.drop_rate,
+            dropout_rate=0.0 if use_flash else self.drop_rate,
+            **attn_kwargs,
         )(y, y)
         x = x + DropPath(self.drop_path)(y, deterministic=not train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
@@ -56,6 +118,7 @@ class ViT(nn.Module):
     num_classes: int = 1000
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    flash_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +139,7 @@ class ViT(nn.Module):
         for i in range(self.depth):
             x = EncoderBlock(self.dim, self.num_heads, self.mlp_ratio,
                              drop_rate=self.drop_rate, drop_path=rates[i],
+                             flash_attn=self.flash_attn,
                              dtype=self.dtype, name=f"block{i}")(x, train=train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = x[:, 0]
@@ -86,10 +150,10 @@ class ViT(nn.Module):
 
 def _make(patch, dim, depth, heads):
     def ctor(num_classes=1000, drop_path_rate=0.0, drop_rate=0.0,
-             dtype=jnp.float32, **kw):
+             dtype=jnp.float32, flash_attn=False, **kw):
         return ViT(patch_size=patch, dim=dim, depth=depth, num_heads=heads,
                    num_classes=num_classes, drop_path_rate=drop_path_rate,
-                   drop_rate=drop_rate, dtype=dtype)
+                   drop_rate=drop_rate, flash_attn=flash_attn, dtype=dtype)
     return ctor
 
 

@@ -83,6 +83,14 @@ def test_kwarg_routing():
     cfg = TrainConfig(model="convnext_tiny", drop_path=0.2)
     kw = model_kwargs_for(cfg, 7)
     assert kw["drop_path_rate"] == 0.2 and "drop_rate" not in kw
+    # --flash_attn routes only to the vit family (Pallas TPU kernel; wins
+    # at 384²+ per benchmarks/attention_bench_n577.json, opt-in)
+    cfg = TrainConfig(model="vit_base_patch16", flash_attn=True)
+    assert model_kwargs_for(cfg, 7)["flash_attn"] is True
+    cfg = TrainConfig(model="vit_base_patch16")
+    assert "flash_attn" not in model_kwargs_for(cfg, 7)
+    cfg = TrainConfig(model="resnet50", flash_attn=True)
+    assert "flash_attn" not in model_kwargs_for(cfg, 7)
 
 
 def test_unknown_model_raises():
