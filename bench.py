@@ -116,13 +116,15 @@ def _build(batch, acc_mode="exact", model_name="resnet50"):
         remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
         flash_attn=bool(int(os.environ.get("BENCH_FLASH", "0"))),
     )
-    kwargs = {}
-    if model_name.startswith("efficientvit"):
-        kwargs["img_size"] = size
-    if model_name.startswith("vit") and cfg.flash_attn:
-        kwargs["flash_attn"] = True
-    model = create_model(model_name, num_classes=num_classes,
-                         half_precision=True, **kwargs)
+    from imageclassification_tpu.models import model_kwargs_for
+
+    # same per-family routing train.py uses — the bench must measure the
+    # exact model configuration training builds
+    kwargs = model_kwargs_for(cfg, num_classes)
+    kwargs.pop("pretrained", None)
+    kwargs.pop("drop_rate", None)      # bench runs without dropout
+    kwargs.pop("drop_path_rate", None)
+    model = create_model(model_name, half_precision=True, **kwargs)
     tx = create_optimizer(cfg.opt, cfg.lr, cfg.weight_decay)
     state = create_train_state(model, tx, jax.random.key(0),
                                (1, size, size, 3))
@@ -177,10 +179,10 @@ def time_scan(step_fn, fresh_state, data, k_lo=8, k_hi=24):
     times = {}
     for K in (k_lo, k_hi):
         f = make(K)
-        # chain the returned carry into the next call (like the real train
-        # loop): the donated input aliases the returned state, so no buffer
-        # is ever freed while aliased (the tunneled relay backend breaks if
-        # a donated-aliased output is dropped)
+        # chain the returned carry into the next call: the advancing
+        # optimizer state defeats the relay's (executable, inputs)
+        # memoization and mirrors how the real train loop feeds the step
+        # (no donation here — see the note in make())
         st = fresh_state()
         st, metrics = f(st, data)
         np.asarray(metrics["loss"])  # compile + warm; FETCH to sync
@@ -235,11 +237,15 @@ def main():
                 sweep[key] = {
                     "ms_per_step": round(per * 1e3, 2),
                     "images_per_sec": round(b / per, 1),
-                    "mfu": round(b / per * flops / V5E_BF16_PEAK, 4),
-                    "vs_mode_roofline": round(
-                        b / per / roofline_img_s(b, acc_mode), 4
-                    ),
                 }
+                if int(os.environ.get("BENCH_SIZE", "224")) == 224:
+                    # FLOP/byte constants are 224²-specific
+                    sweep[key]["mfu"] = round(
+                        b / per * flops / V5E_BF16_PEAK, 4
+                    )
+                    sweep[key]["vs_mode_roofline"] = round(
+                        b / per / roofline_img_s(b, acc_mode), 4
+                    )
                 print(key, sweep[key], flush=True)
         out = os.path.join("benchmarks", "bench_sweep.json")
         with open(out, "w") as f:
@@ -268,11 +274,15 @@ def main():
     else:
         per = time_scan(step_fn, fresh_state, data)
     images_per_sec = batch / per
+    # the roofline constants (FLOPs, activation bytes) describe ResNet-50 at
+    # 224² — under BENCH_SIZE overrides the ratio would be silently wrong
+    at_224 = int(os.environ.get("BENCH_SIZE", "224")) == 224
     print(json.dumps({
         "metric": "resnet50_train_images_per_sec_per_chip",
         "value": round(images_per_sec, 1),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / TARGET_IMG_S, 4),
+        "vs_baseline": round(images_per_sec / TARGET_IMG_S, 4) if at_224
+        else None,
     }))
 
 

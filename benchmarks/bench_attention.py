@@ -8,7 +8,7 @@ with segment-id masking of the padded keys.
 
 Timing: K-step lax.scan with the query chained through the carry (the
 tunneled relay memoizes pure replays), difference quotient of two scan
-lengths. Writes benchmarks/attention_bench.json.
+lengths. Writes benchmarks/attention_bench_n<N>.json (N from ATTN_N, default 197).
 """
 
 from __future__ import annotations
@@ -24,10 +24,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import os as _os
-B = int(_os.environ.get("ATTN_B", "128"))
+B = int(os.environ.get("ATTN_B", "128"))
 H, D = 12, 64
-N = int(_os.environ.get("ATTN_N", "197"))
+N = int(os.environ.get("ATTN_N", "197"))
 NPAD = max(128, -(-N // 128) * 128)
 K_LO, K_HI = 8, 24
 

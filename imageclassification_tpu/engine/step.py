@@ -228,7 +228,10 @@ def build_train_step(
             # here costs ~1 ms of `conditional` dispatch plus ~2 ms of operand
             # copies per step on v5e (see benchmarks/trace_ops_resnet50.json:
             # copy-done ×964/step) — the branchless selects over params/m/v
-            # are ~3x cheaper. Grads were already zeroed on non-finite loss.
+            # are ~3x cheaper. NOTE: at update_freq==1 grads are NOT zeroed
+            # on a non-finite loss (that pass is skipped above) — these
+            # selects are the SOLE gate keeping NaNs out of params/
+            # opt_state/EMA; do not reuse `accum` as if it were sanitized.
             applied = apply_fn(operand)
             sel = lambda n, o: jnp.where(do_update, n, o)
             (new_params, new_opt, new_accum, new_ema, new_ema_bs) = (

@@ -89,6 +89,13 @@ class EncoderBlock(nn.Module):
         # flash kernel has no attention-dropout path — fall back to the
         # einsum attention when attention dropout is active
         use_flash = self.flash_attn and (self.drop_rate == 0.0 or not train)
+        if self.flash_attn and not use_flash:
+            # trace-time (once per compile), not per step
+            print(
+                "WARNING: --flash_attn requested but attention dropout "
+                f"(drop_rate={self.drop_rate}) forces the einsum attention "
+                "path for training steps"
+            )
         attn_kwargs = {}
         if use_flash:
             attn_kwargs["attention_fn"] = flash_attention_fn

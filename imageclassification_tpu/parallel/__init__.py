@@ -3,6 +3,7 @@ from .dist import (
     get_rank,
     get_world_size,
     is_main_process,
+    any_process,
     setup_for_distributed,
 )
 from .mesh import (

@@ -101,6 +101,25 @@ def is_main_process() -> bool:
     return get_rank() == 0
 
 
+def any_process(flag: bool) -> bool:
+    """True iff `flag` is True on ANY process (max-reduce across hosts).
+
+    Collective-safe decision making: use this before any action that runs
+    collectives (checkpoint gathers) or changes control flow (loop exit),
+    so every process takes the same branch — e.g. SLURM grace signals land
+    on hosts with skew (train.py preemption path)."""
+    if get_world_size() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    got = multihost_utils.process_allgather(
+        np.asarray([1.0 if flag else 0.0], np.float32)
+    )
+    return bool(np.max(got) > 0)
+
+
 def setup_for_distributed(is_master: bool) -> None:
     """Disable printing on non-master processes (reference utils.py:288-300).
 

@@ -318,11 +318,13 @@ def main(args: TrainConfig):
             start_steps=epoch * num_training_steps_per_epoch,
         )
 
+        saved_this_epoch = False
         if args.save_ckpt:
             if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
                 ckpt_io.save_model(
                     args, input_shape, epoch, state, num_classes, model_spec
                 )
+                saved_this_epoch = True
 
         val_loader = make_val_loader()
         test_stats = evaluate(
@@ -386,11 +388,12 @@ def main(args: TrainConfig):
         if wandb_logger:
             wandb_logger.log_epoch_metrics(log_stats)
 
-        if preempted["flag"]:
-            already = (epoch + 1) % args.save_ckpt_freq == 0 or (
-                epoch + 1 == args.epochs
-            )
-            if args.save_ckpt and not already:
+        # SLURM delivers the grace signal to each host with skew; the save
+        # below runs collective gathers, so the DECISION must be identical on
+        # every process — take the max of the per-host flags
+        stop_now = parallel.any_process(preempted["flag"])
+        if stop_now:
+            if args.save_ckpt and not saved_this_epoch:
                 ckpt_io.save_model(
                     args, input_shape, epoch, state, num_classes, model_spec
                 )
