@@ -99,6 +99,14 @@ for idx in ev_batches:
     tot += int(count(gb["label"]))
 assert tot == n_samples, (tot, n_samples)
 
+# --- any_process: collective-safe flag reduction (preemption path) -----------
+# only rank 1 "receives the signal"; both processes must agree the answer is
+# True (and agree on False when no one did)
+from imageclassification_tpu.parallel import any_process
+
+assert any_process(False) is False
+assert any_process(rank == 1) is True
+
 # rank-0 print gating is active after init_distributed_mode (utils.py:288-300
 # semantics) — force=True bypasses it, which this also regression-tests
 print(f"RANK{rank} OK", flush=True, force=True)
