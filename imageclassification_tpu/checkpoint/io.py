@@ -112,21 +112,30 @@ def save_model(
     checkpoint_path = output_dir / f"checkpoint-{epoch_name}.pth"
 
     # Collective phase first: with multi-host FSDP the shards are not fully
-    # addressable, so EVERY process joins the all-gather; only the main
-    # process then snapshots and writes.
-    trees = {
-        "model": _gather_replicated(state.params),
-        "batch_stats": _gather_replicated(state.batch_stats),
-        "optimizer": _gather_replicated(state.opt_state),
-    }
+    # addressable, so EVERY process joins the all-gathers (same order on
+    # every process). Gather → host-snapshot → free ONE tree at a time: the
+    # whole point of --fsdp is that params+optimizer+EMA do not fit
+    # replicated, so materializing all gathered trees simultaneously would
+    # OOM exactly when sharding matters.
+    tree_specs = [
+        ("model", state.params),
+        ("batch_stats", state.batch_stats),
+        ("optimizer", state.opt_state),
+    ]
     if state.ema_params is not None:
-        trees["model_ema"] = _gather_replicated(state.ema_params)
+        tree_specs.append(("model_ema", state.ema_params))
         if state.ema_batch_stats is not None:
-            trees["model_ema_batch_stats"] = _gather_replicated(
-                state.ema_batch_stats
-            )
+            tree_specs.append(("model_ema_batch_stats", state.ema_batch_stats))
 
-    if not is_main_process():
+    main = is_main_process()
+    snaps: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, tree in tree_specs:
+        gathered = _gather_replicated(tree)
+        if main:
+            snaps[name] = _flatten(gathered)  # device→host copy
+        del gathered  # free the replicated device copy before the next gather
+
+    if not main:
         return
 
     to_save = {
@@ -138,7 +147,7 @@ def save_model(
         "num_classes": num_classes,
         "args": args.to_dict() if hasattr(args, "to_dict") else vars(args),
     }
-    to_save.update({k: _flatten(v) for k, v in trees.items()})
+    to_save.update(snaps)
 
     # device→host snapshot happened above (donation invalidates the live
     # buffers at the next step, so _flatten must be synchronous); only the

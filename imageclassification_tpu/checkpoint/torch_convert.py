@@ -403,10 +403,19 @@ def load_pretrained_flat(path: str, model_name: str) -> dict:
             ck = pickle.load(f)
     except Exception:
         pass
-    if isinstance(ck, dict) and "model" in ck and not hasattr(
-        next(iter(ck["model"].values()), None), "detach"
-    ):
-        return ck
+    if isinstance(ck, dict) and isinstance(ck.get("model"), dict):
+        # repo checkpoints carry format_version and use '/'-joined flax
+        # keys; a pickled torch-layout state_dict wrapped in a 'model'
+        # container has '.'-nested keys and must go through conversion
+        keys = list(ck["model"])
+        looks_repo = "format_version" in ck or (
+            keys and all("." not in k for k in keys)
+        )
+        has_torch_tensors = any(
+            hasattr(v, "detach") for v in ck["model"].values()
+        )
+        if looks_repo and not has_torch_tensors:
+            return ck
     if ck is None:  # torch zip format needs torch.load
         import torch
 

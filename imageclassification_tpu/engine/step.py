@@ -133,10 +133,12 @@ def build_train_step(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, mixed, targets, k_drop)
 
-        if use_hessian:
+        def hutchinson_diag():
             # AdaHessian Hutchinson estimate: z ⊙ (Hz) with Rademacher z,
             # Hz from one jvp through the grad function (a second fwd+bwd —
-            # the same cost profile as torch adahessian's double backward)
+            # the same cost profile as torch adahessian's double backward).
+            # Called inside the update branch only, so with update_freq>1
+            # the non-boundary microsteps never pay for it.
             k_hess = jax.random.fold_in(rng, 0x5E55)
             leaves, treedef = jax.tree_util.tree_flatten(state.params)
             zkeys = jax.random.split(k_hess, len(leaves))
@@ -152,9 +154,7 @@ def build_train_step(
                 )(p)
 
             hvp = jax.jvp(grad_only, (state.params,), (z,))[1]
-            hessian_diag = jax.tree.map(lambda a, b: a * b, z, hvp)
-        else:
-            hessian_diag = None
+            return jax.tree.map(lambda a, b: a * b, z, hvp)
 
         finite = jnp.isfinite(loss)
         inv_freq = 1.0 / update_freq
@@ -197,7 +197,7 @@ def build_train_step(
             params, opt_state, accum, ema, ema_bs = operand
             if use_hessian:
                 updates, new_opt = tx.update(
-                    accum, opt_state, params, hessian_diag=hessian_diag
+                    accum, opt_state, params, hessian_diag=hutchinson_diag()
                 )
             else:
                 updates, new_opt = tx.update(accum, opt_state, params)

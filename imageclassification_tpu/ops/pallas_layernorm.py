@@ -17,10 +17,12 @@ backward: recomputes mean/rstd from x in-kernel (no stat residuals, no extra
     dx = rstd * (g' - mean_c(g') - xhat * mean_c(g' * xhat))
     dgamma = sum_rows(dy * xhat),  dbeta = sum_rows(dy)
 
-Used by models/convnext.py and models/vit.py via FusedLayerNorm (param names
-'scale'/'bias' match nn.LayerNorm, so checkpoints and converted torch weights
-are unaffected). Falls back to the pure-jnp reference off-TPU or for shapes
-the kernel does not cover.
+NOT on the model path: measured against XLA's LayerNorm at every ConvNeXt
+stage shape on the real chip (benchmarks/layernorm_bench.json), XLA wins
+2-5× — its fused elementwise/reduce codegen already runs at bandwidth
+speed-of-light. The kernel is kept as a golden-tested, benchmarked baseline
+(see BREAKDOWN.md); models use nn.LayerNorm. Falls back to the pure-jnp
+reference off-TPU or for shapes the kernel does not cover.
 """
 
 from __future__ import annotations
@@ -42,7 +44,10 @@ def _pick_rows(n_rows: int, c: int) -> int:
     r = 1024
     while r > budget_rows or n_rows % r:
         r //= 2
-        if r == 0:
+        if r < 8:
+            # Mosaic requires (8, 128)-divisible (or full-dim) blocks; a
+            # row block under 8 (n_rows with a small 2-adic part, e.g.
+            # 788 = 4·197) would fail to compile — use the jnp fallback
             return 0
     return r
 

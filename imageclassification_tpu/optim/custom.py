@@ -113,8 +113,12 @@ def lookahead(
             inner=inner.init(params),
         )
 
-    def update_fn(updates, state, params):
-        inner_updates, inner_state = inner.update(updates, state.inner, params)
+    def update_fn(updates, state, params, **extra_args):
+        # forward extra args (e.g. adahessian's hessian_diag) to the inner
+        # transformation so `lookahead_adahessian` composes
+        inner_updates, inner_state = inner.update(
+            updates, state.inner, params, **extra_args
+        )
         count = state.count + 1
         sync = count % sync_period == 0
 
@@ -129,7 +133,9 @@ def lookahead(
         new_slow = jax.tree.map(lambda t: t[1], pairs, is_leaf=lambda t: isinstance(t, tuple))
         return new_updates, LookaheadState(count=count, slow=new_slow, inner=inner_state)
 
-    return optax.GradientTransformation(init_fn, update_fn)
+    # ExtraArgs so optax.chain/with_extra_args_support does not silently
+    # swallow hessian_diag before it reaches the forwarding above
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
 
 
 class SGDPState(NamedTuple):

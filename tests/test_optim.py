@@ -156,3 +156,19 @@ def test_set_hyperparams_through_lookahead():
     up, _ = tx.update(_toy_grads(params), state, params)
     # nesterov sgd first step: update = -lr * (g + m*g) = -0.5 * 1.9 * 0.1
     np.testing.assert_allclose(np.asarray(up["dense"]["kernel"]), -0.095, rtol=1e-6)
+
+
+def test_lookahead_adahessian_composes():
+    """`lookahead_` must forward adahessian's hessian_diag extra arg to the
+    wrapped transformation (was a TypeError at jit trace time)."""
+    params = _toy_params()
+    tx = create_optimizer("lookahead_adahessian", lr=1e-2, weight_decay=1e-4)
+    state = tx.init(params)
+    hess = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+    for _ in range(2):
+        updates, state = tx.update(
+            _toy_grads(params), state, params, hessian_diag=hess
+        )
+        params = optax.apply_updates(params, updates)
+    for leaf in jax.tree.leaves(params):
+        assert bool(jnp.isfinite(leaf).all())

@@ -98,7 +98,12 @@ def test_supported_gating():
     assert y.shape == x.shape
 
 
-def test_odd_row_counts_pick_smaller_blocks():
-    # N = 2*197 (ViT tokens) is not divisible by large powers of two
-    rows = pln._pick_rows(2 * 197, 192)
-    assert rows > 0 and (2 * 197) % rows == 0
+def test_odd_row_counts_fall_back_below_mosaic_minimum():
+    # Mosaic row blocks must be multiples of 8 (or the full dim); N = 2*197
+    # (ViT tokens) has 2-adic part 2, so no valid block exists — _pick_rows
+    # must return 0 (jnp fallback), not an invalid block of 2
+    assert pln._pick_rows(2 * 197, 192) == 0
+    assert pln._pick_rows(4 * 197, 192) == 0
+    # while 8-divisible row counts still get a real block
+    rows = pln._pick_rows(8 * 196, 192)
+    assert rows >= 8 and (8 * 196) % rows == 0

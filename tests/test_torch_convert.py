@@ -613,3 +613,24 @@ def test_efficientvit_torch_parity():
     got = _flax_logits("efficientvit_m0", net.state_dict(), x.numpy(),
                        num_classes=5)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pickled_torch_layout_in_model_container_is_converted(tmp_path):
+    """A plain-pickled {'model': <torch-naming numpy state_dict>} must go
+    through conversion, not be mistaken for a repo checkpoint (whose keys
+    are '/'-joined and which carries format_version)."""
+    import pickle
+
+    from imageclassification_tpu.checkpoint.torch_convert import (
+        load_pretrained_flat,
+    )
+
+    torch.manual_seed(7)
+    net = _TorchResNet(_TorchBasic, [2, 2, 2, 2], num_classes=6, expansion=1)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    p = tmp_path / "wrapped.pth"
+    with open(p, "wb") as f:
+        pickle.dump({"model": sd}, f)
+    ck = load_pretrained_flat(str(p), "resnet18")
+    assert "conv_stem/kernel" in ck["model"]          # converted to flax keys
+    assert "bn_stem/mean" in ck["batch_stats"]
