@@ -247,7 +247,8 @@ def main():
                         b / per / roofline_img_s(b, acc_mode), 4
                     )
                 print(key, sweep[key], flush=True)
-        out = os.path.join("benchmarks", "bench_sweep.json")
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "bench_sweep.json")
         with open(out, "w") as f:
             json.dump(sweep, f, indent=2)
 
@@ -264,7 +265,8 @@ def main():
                 "images_per_sec": round(batch / per, 1),
             }
             print(name, rows[name], flush=True)
-        out = os.path.join("benchmarks", "bench_models.json")
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "bench_models.json")
         with open(out, "w") as f:
             json.dump(rows, f, indent=2)
 

@@ -99,9 +99,12 @@ def time_fn(fn, grad: bool, label: str):
         ))
         np.asarray(scanned((q0, k0, v0))[1])  # compile+warm, fetch to sync
         best = float("inf")
-        for _ in range(3):
+        for rep in range(3):
+            # perturb the carry per rep — byte-identical (executable, inputs)
+            # pairs can be served as memoized replays by the tunneled relay
+            qr = q0 + jnp.bfloat16(1e-3 * (rep + 1))
             t0 = time.perf_counter()
-            np.asarray(scanned((q0, k0, v0))[1])
+            np.asarray(scanned((qr, k0, v0))[1])
             best = min(best, time.perf_counter() - t0)
         times[K] = best
     per = (times[K_HI] - times[K_LO]) / (K_HI - K_LO)

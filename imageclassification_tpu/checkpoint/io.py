@@ -260,12 +260,21 @@ def _assert_checkpoint_consistent(ckpt_flat: Dict[str, np.ndarray]) -> None:
         return
     from jax.experimental import multihost_utils
 
+    # NaN-safe fingerprint: a single non-finite value in the checkpoint must
+    # not poison the sum (NaN != NaN would flag identical copies as
+    # divergent) — sum the finite part and count non-finites separately
     fp = 0.0
+    n_nonfinite = 0.0
     for v in ckpt_flat.values():
-        fp += float(np.asarray(v, np.float64).sum())
+        arr = np.asarray(v, np.float64)
+        finite = np.isfinite(arr)
+        fp += float(arr[finite].sum())
+        n_nonfinite += float(arr.size - finite.sum())
     fps = np.asarray(
-        multihost_utils.process_allgather(np.asarray([fp], np.float32))
-    ).reshape(-1)
+        multihost_utils.process_allgather(
+            np.asarray([fp, n_nonfinite], np.float32)
+        )
+    ).reshape(-1, 2)
     if not np.allclose(fps, fps[0], rtol=1e-5, atol=1e-6):
         raise RuntimeError(
             f"checkpoint content differs across processes (fingerprints "

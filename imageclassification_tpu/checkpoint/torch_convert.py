@@ -189,9 +189,16 @@ def convert_vit(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
     # infer head layout from qkv: timm fuses q,k,v into one [3E, E] matrix
     qkv_w = sd["blocks.0.attn.qkv.weight"]
     assert qkv_w.shape[0] == 3 * embed_dim, qkv_w.shape
-    # head count: standard ViT head_dim = 64
-    head_dim = 64
-    n_heads = embed_dim // head_dim
+    # head count comes from the TARGET model (hard-coding head_dim=64 would
+    # silently mis-reshape q/k/v for any dim/heads ratio != 64, and the
+    # pruning path would then drop every attention tensor)
+    try:
+        from ..models import create_model
+
+        n_heads = int(create_model(model_name, num_classes=1).num_heads)
+    except Exception:
+        n_heads = embed_dim // 64  # standard ViT head_dim
+    head_dim = embed_dim // n_heads
 
     params["cls_token"] = sd["cls_token"]
     params["pos_embed"] = sd["pos_embed"]

@@ -175,10 +175,11 @@ def build_train_step(
         )
 
         if update_freq > 1:
-            accum = jax.tree.map(
-                lambda a, g: jnp.where(finite, a + g, jnp.zeros_like(a)),
-                state.grad_accum, grads,
-            )
+            # the non-finite micro-grad was zeroed above, so a bad microstep
+            # contributes nothing while the window's earlier finite
+            # micro-grads are KEPT (wiping the accumulator here would make
+            # the boundary update apply a partial, mis-scaled gradient)
+            accum = jax.tree.map(lambda a, g: a + g, state.grad_accum, grads)
             boundary = (step + 1) % update_freq == 0
         else:
             accum = grads
@@ -221,6 +222,12 @@ def build_train_step(
             # boundaries, so the branch is a genuine lax.cond.
             new_params, new_opt, new_accum, new_ema, new_ema_bs = jax.lax.cond(
                 do_update, apply_fn, skip_fn, operand
+            )
+            # every window ends at its boundary: when the boundary microstep
+            # was non-finite (update skipped via skip_fn), discard the
+            # accumulated window so the next one starts clean
+            new_accum = jax.tree.map(
+                lambda a: jnp.where(boundary, jnp.zeros_like(a), a), new_accum
             )
         else:
             # update_freq==1: do_update is only False on a non-finite loss, so

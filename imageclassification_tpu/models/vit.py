@@ -87,15 +87,9 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # flash kernel has no attention-dropout path — fall back to the
-        # einsum attention when attention dropout is active
+        # einsum attention when attention dropout is active (ViT.__call__
+        # warns once per model about the conflict)
         use_flash = self.flash_attn and (self.drop_rate == 0.0 or not train)
-        if self.flash_attn and not use_flash:
-            # trace-time (once per compile), not per step
-            print(
-                "WARNING: --flash_attn requested but attention dropout "
-                f"(drop_rate={self.drop_rate}) forces the einsum attention "
-                "path for training steps"
-            )
         attn_kwargs = {}
         if use_flash:
             attn_kwargs["attention_fn"] = flash_attention_fn
@@ -130,6 +124,13 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.flash_attn and self.drop_rate > 0.0 and train:
+            # trace-time (once per compile of the model), not per step
+            print(
+                "WARNING: --flash_attn requested but attention dropout "
+                f"(drop_rate={self.drop_rate}) forces the einsum attention "
+                "path for training steps"
+            )
         B = x.shape[0]
         x = x.astype(self.dtype)
         p = self.patch_size

@@ -207,3 +207,50 @@ def test_remat_flag_matches_no_remat():
         state, m = step(state, batch, jax.random.key(1))
         losses.append(float(m["loss"]))
     assert abs(losses[0] - losses[1]) < 1e-5, losses
+
+
+def test_nonfinite_microstep_preserves_accumulated_window():
+    """With update_freq>1, a non-finite microstep must contribute nothing but
+    KEEP the window's earlier finite micro-grads (wiping the accumulator made
+    the boundary update apply a partial, mis-scaled gradient); a non-finite
+    BOUNDARY microstep must discard the window so the next starts clean."""
+    import optax
+
+    state, step, batch = _setup(update_freq=3)
+    # micro 1 (finite): accumulator picks up g1/3
+    state, m1 = step(state, batch, jax.random.key(1))
+    assert float(m1["skipped"]) == 0.0
+    good_params = jax.device_get(state.params)
+    accum_after_1 = float(optax.global_norm(state.grad_accum))
+    assert accum_after_1 > 0
+
+    # micro 2 poisoned → nan loss → skipped; accumulator must be unchanged
+    poisoned = state.replace(
+        params=jax.tree.map(lambda p: p * jnp.nan, state.params)
+    )
+    state, m2 = step(poisoned, batch, jax.random.key(2))
+    assert float(m2["skipped"]) == 1.0
+    accum_after_2 = float(optax.global_norm(state.grad_accum))
+    assert np.isfinite(accum_after_2)
+    assert abs(accum_after_2 - accum_after_1) < 1e-6 * max(accum_after_1, 1)
+
+    # micro 3 (boundary, finite, params restored): update applies the window
+    state = state.replace(
+        params=jax.tree.map(jnp.asarray, good_params)
+    )
+    state, m3 = step(state, batch, jax.random.key(3))
+    assert float(m3["skipped"]) == 0.0
+    assert not _params_equal(good_params, jax.device_get(state.params))
+    assert float(optax.global_norm(state.grad_accum)) == 0.0  # window reset
+
+    # a poisoned BOUNDARY microstep discards the window
+    state, _ = step(state, batch, jax.random.key(4))       # micro 1 of window
+    state, _ = step(state, batch, jax.random.key(5))       # micro 2
+    before = jax.device_get(state.params)
+    poisoned = state.replace(
+        params=jax.tree.map(lambda p: p * jnp.nan, state.params)
+    )
+    state, mb = step(poisoned, batch, jax.random.key(6))   # boundary, nan
+    assert float(mb["skipped"]) == 1.0
+    state = state.replace(params=jax.tree.map(jnp.asarray, before))
+    assert float(optax.global_norm(state.grad_accum)) == 0.0
