@@ -65,6 +65,10 @@ _RESNET_STAGES = {
     "resnet18": [2, 2, 2, 2], "resnet34": [3, 4, 6, 3],
     "resnet50": [3, 4, 6, 3], "resnet101": [3, 4, 23, 3],
     "resnet152": [3, 8, 36, 3],
+    # torchvision ResNeXt/wide variants use the identical key naming —
+    # only tensor shapes differ (grouped 3x3 / doubled width)
+    "resnext50_32x4d": [3, 4, 6, 3], "resnext101_32x8d": [3, 4, 23, 3],
+    "wide_resnet50_2": [3, 4, 6, 3], "wide_resnet101_2": [3, 4, 23, 3],
 }
 _BASIC = {"resnet18", "resnet34"}
 
@@ -351,7 +355,7 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
             sd = sd[container]
     sd = _np({re.sub(r"^module\.", "", k): v for k, v in sd.items()})
 
-    if model_name.startswith("resnet"):
+    if model_name.startswith(("resnet", "resnext", "wide_resnet")):
         return convert_resnet(sd, model_name)
     if model_name.startswith("convnext"):
         return convert_convnext(sd, model_name)

@@ -21,7 +21,9 @@ def list_models():
     return sorted(_REGISTRY)
 
 
-for _n in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
+for _n in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+           "resnext50_32x4d", "resnext101_32x8d",
+           "wide_resnet50_2", "wide_resnet101_2"):
     register(_n, getattr(resnet, _n))
 for _n in ("convnext_atto", "convnext_femto", "convnext_pico", "convnext_nano",
            "convnext_tiny", "convnext_small", "convnext_base", "convnext_large",

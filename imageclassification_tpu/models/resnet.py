@@ -102,8 +102,14 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """torchvision Bottleneck incl. the ResNeXt/wide generalization: the
+    1x1-reduce and grouped 3x3 run at `int(filters * base_width/64) * groups`
+    channels (torchvision resnet.py Bottleneck.__init__ width formula)."""
+
     filters: int
     strides: int = 1
+    groups: int = 1
+    base_width: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,11 +118,13 @@ class Bottleneck(nn.Module):
                        kernel_init=nn.initializers.he_normal())
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
         residual = x
-        y = conv(self.filters, (1, 1))(x)
+        y = conv(width, (1, 1))(x)
         y = norm()(y)
         y = nn.relu(y)
-        y = conv(self.filters, (3, 3), (self.strides, self.strides), padding=1)(y)
+        y = conv(width, (3, 3), (self.strides, self.strides), padding=1,
+                 feature_group_count=self.groups)(y)
         y = norm()(y)
         y = nn.relu(y)
         y = conv(self.filters * 4, (1, 1))(y)
@@ -171,3 +179,23 @@ def resnet101(num_classes=1000, dtype=jnp.float32, **kw):
 
 def resnet152(num_classes=1000, dtype=jnp.float32, **kw):
     return ResNet([3, 8, 36, 3], Bottleneck, num_classes=num_classes, dtype=dtype)
+
+
+def resnext50_32x4d(num_classes=1000, dtype=jnp.float32, **kw):
+    block = partial(Bottleneck, groups=32, base_width=4)
+    return ResNet([3, 4, 6, 3], block, num_classes=num_classes, dtype=dtype)
+
+
+def resnext101_32x8d(num_classes=1000, dtype=jnp.float32, **kw):
+    block = partial(Bottleneck, groups=32, base_width=8)
+    return ResNet([3, 4, 23, 3], block, num_classes=num_classes, dtype=dtype)
+
+
+def wide_resnet50_2(num_classes=1000, dtype=jnp.float32, **kw):
+    block = partial(Bottleneck, base_width=128)
+    return ResNet([3, 4, 6, 3], block, num_classes=num_classes, dtype=dtype)
+
+
+def wide_resnet101_2(num_classes=1000, dtype=jnp.float32, **kw):
+    block = partial(Bottleneck, base_width=128)
+    return ResNet([3, 4, 23, 3], block, num_classes=num_classes, dtype=dtype)

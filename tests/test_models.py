@@ -149,3 +149,13 @@ def test_stem_odd_input_falls_back():
                    x, train=False)
     out = model.apply(v, x, train=False)
     assert out.shape == (1, 3)
+
+
+def test_resnext_and_wide_param_counts():
+    # torchvision reference: resnext50_32x4d 25.0M, wide_resnet50_2 68.9M
+    n = _param_count(create_model("resnext50_32x4d", num_classes=1000),
+                     (1, 64, 64, 3))
+    assert 24.5e6 < n < 25.6e6, n
+    n = _param_count(create_model("wide_resnet50_2", num_classes=1000),
+                     (1, 64, 64, 3))
+    assert 68.0e6 < n < 69.8e6, n

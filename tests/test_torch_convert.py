@@ -81,13 +81,15 @@ class _TorchBasic(tnn.Module):
 
 
 class _TorchBottleneck(tnn.Module):
-    def __init__(self, cin, planes, stride=1):
+    def __init__(self, cin, planes, stride=1, groups=1, base_width=64):
         super().__init__()
-        self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(planes)
-        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, groups=groups,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
         self.bn3 = tnn.BatchNorm2d(planes * 4)
         self.downsample = None
         if stride != 1 or cin != planes * 4:
@@ -128,9 +130,17 @@ class _TorchResNet(tnn.Module):
         return self.fc(x.mean(dim=(2, 3)))
 
 
+import functools  # noqa: E402
+
 @pytest.mark.parametrize("name,block,stages,exp", [
     ("resnet18", _TorchBasic, [2, 2, 2, 2], 1),
     ("resnet50", _TorchBottleneck, [3, 4, 6, 3], 4),
+    ("resnext50_32x4d",
+     functools.partial(_TorchBottleneck, groups=32, base_width=4),
+     [3, 4, 6, 3], 4),
+    ("wide_resnet50_2",
+     functools.partial(_TorchBottleneck, base_width=128),
+     [3, 4, 6, 3], 4),
 ])
 def test_resnet_torch_parity(name, block, stages, exp):
     torch.manual_seed(0)
