@@ -171,6 +171,14 @@ def convert_convnext(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
         params[f"{dst}/Dense_1/bias"] = sd[f"{src}.{names['fc2']}.bias"]
         if f"{src}.gamma" in sd:
             params[f"{dst}/gamma"] = sd[f"{src}.gamma"]
+        # ConvNeXt-V2: GRN on the MLP hidden (fb 'grn.gamma'/'grn.beta'
+        # stored [1,1,1,4C]; timm 'mlp.grn.weight'/'mlp.grn.bias')
+        for g_src, b_src in ((f"{src}.grn.gamma", f"{src}.grn.beta"),
+                             (f"{src}.mlp.grn.weight", f"{src}.mlp.grn.bias")):
+            if g_src in sd:
+                params[f"{dst}/GRN_0/gamma"] = sd[g_src].reshape(-1)
+                params[f"{dst}/GRN_0/beta"] = sd[b_src].reshape(-1)
+                break
 
     if "norm.weight" in sd:  # fb head norm
         ln("head_norm", "norm")

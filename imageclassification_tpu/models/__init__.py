@@ -27,7 +27,10 @@ for _n in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     register(_n, getattr(resnet, _n))
 for _n in ("convnext_atto", "convnext_femto", "convnext_pico", "convnext_nano",
            "convnext_tiny", "convnext_small", "convnext_base", "convnext_large",
-           "convnext_xlarge"):
+           "convnext_xlarge",
+           "convnextv2_atto", "convnextv2_femto", "convnextv2_pico",
+           "convnextv2_nano", "convnextv2_tiny", "convnextv2_base",
+           "convnextv2_large", "convnextv2_huge"):
     register(_n, getattr(convnext, _n))
 for _n in ("vit_tiny_patch16", "vit_small_patch16", "vit_small_patch32",
            "vit_base_patch16", "vit_base_patch32", "vit_large_patch16"):

@@ -58,10 +58,32 @@ class DepthwiseConv7x7(nn.Module):
         return out + bias.astype(out.dtype)
 
 
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-V2, facebookresearch/
+    ConvNeXt-V2 models/utils.py GRN): per-channel global L2 energy over the
+    spatial dims, divisively normalized by its channel mean, with learnable
+    zero-init gamma/beta and an identity shortcut. Params stored flat [C]
+    (the FB checkpoint's [1,1,1,C] is squeezed by the converter)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        xf = x.astype(jnp.float32)  # global L2 in fp32 for stability
+        gx = jnp.sqrt(jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        out = gamma * (xf * nx) + beta + xf
+        return out.astype(x.dtype)
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path: float = 0.0
     layer_scale_init: float = 1e-6
+    use_grn: bool = False  # ConvNeXt-V2: GRN on the expanded MLP hidden
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -73,6 +95,8 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Dense(4 * self.dim, dtype=self.dtype,
                      kernel_init=truncated_normal_init())(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU default (exact erf)
+        if self.use_grn:
+            x = GRN(4 * self.dim, dtype=self.dtype)(x)
         x = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=truncated_normal_init())(x)
         if self.layer_scale_init > 0:
@@ -92,6 +116,7 @@ class ConvNeXt(nn.Module):
     num_classes: int = 1000
     drop_path_rate: float = 0.0
     layer_scale_init: float = 1e-6
+    use_grn: bool = False  # ConvNeXt-V2 (GRN blocks, no layer scale)
     head_init_scale: float = 1.0
     features_only: bool = False
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
@@ -117,6 +142,7 @@ class ConvNeXt(nn.Module):
             for j in range(self.depths[i]):
                 x = ConvNeXtBlock(self.dims[i], drop_path=rates[i][j],
                                   layer_scale_init=self.layer_scale_init,
+                                  use_grn=self.use_grn,
                                   dtype=self.dtype,
                                   name=f"stage{i}_block{j}")(x, train=train)
             if self.features_only and i in self.out_indices:
@@ -148,6 +174,20 @@ def _make(depths, dims):
     return ctor
 
 
+def _make_v2(depths, dims):
+    """ConvNeXt-V2 (facebookresearch/ConvNeXt-V2 convnextv2.py): GRN in
+    every block, no layer scale; stem/downsample/head identical to V1."""
+
+    def ctor(num_classes=1000, drop_path_rate=0.0, dtype=jnp.float32,
+             features_only=False, out_indices=(0, 1, 2, 3), **kw):
+        return ConvNeXt(depths=depths, dims=dims, num_classes=num_classes,
+                        drop_path_rate=drop_path_rate, dtype=dtype,
+                        layer_scale_init=0.0, use_grn=True,
+                        features_only=features_only,
+                        out_indices=tuple(out_indices))
+    return ctor
+
+
 convnext_atto = _make((2, 2, 6, 2), (40, 80, 160, 320))
 convnext_femto = _make((2, 2, 6, 2), (48, 96, 192, 384))
 convnext_pico = _make((2, 2, 6, 2), (64, 128, 256, 512))
@@ -157,3 +197,12 @@ convnext_small = _make((3, 3, 27, 3), (96, 192, 384, 768))
 convnext_base = _make((3, 3, 27, 3), (128, 256, 512, 1024))
 convnext_large = _make((3, 3, 27, 3), (192, 384, 768, 1536))
 convnext_xlarge = _make((3, 3, 27, 3), (256, 512, 1024, 2048))
+
+convnextv2_atto = _make_v2((2, 2, 6, 2), (40, 80, 160, 320))
+convnextv2_femto = _make_v2((2, 2, 6, 2), (48, 96, 192, 384))
+convnextv2_pico = _make_v2((2, 2, 6, 2), (64, 128, 256, 512))
+convnextv2_nano = _make_v2((2, 2, 8, 2), (80, 160, 320, 640))
+convnextv2_tiny = _make_v2((3, 3, 9, 3), (96, 192, 384, 768))
+convnextv2_base = _make_v2((3, 3, 27, 3), (128, 256, 512, 1024))
+convnextv2_large = _make_v2((3, 3, 27, 3), (192, 384, 768, 1536))
+convnextv2_huge = _make_v2((3, 3, 27, 3), (352, 704, 1408, 2816))

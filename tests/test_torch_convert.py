@@ -190,8 +190,9 @@ class _FBBlock(tnn.Module):
 class _FBConvNeXt(tnn.Module):
     """facebookresearch/ConvNeXt layout (the reference's vendored backbone)."""
 
-    def __init__(self, depths, dims, num_classes):
+    def __init__(self, depths, dims, num_classes, block=None):
         super().__init__()
+        block = block or _FBBlock
         self.downsample_layers = tnn.ModuleList()
         self.downsample_layers.append(tnn.Sequential(
             tnn.Conv2d(3, dims[0], 4, 4), _LNChannelsFirst(dims[0])
@@ -202,7 +203,7 @@ class _FBConvNeXt(tnn.Module):
                 tnn.Conv2d(dims[i], dims[i + 1], 2, 2),
             ))
         self.stages = tnn.ModuleList(
-            tnn.Sequential(*[_FBBlock(dims[i]) for _ in range(depths[i])])
+            tnn.Sequential(*[block(dims[i]) for _ in range(depths[i])])
             for i in range(4)
         )
         self.norm = tnn.LayerNorm(dims[-1], eps=1e-6)
@@ -644,3 +645,54 @@ def test_pickled_torch_layout_in_model_container_is_converted(tmp_path):
     ck = load_pretrained_flat(str(p), "resnet18")
     assert "conv_stem/kernel" in ck["model"]          # converted to flax keys
     assert "bn_stem/mean" in ck["batch_stats"]
+
+
+# --------------------------------------------------------- ConvNeXt-V2 (GRN)
+
+
+class _FBGRN(tnn.Module):
+    """facebookresearch/ConvNeXt-V2 GRN (params stored [1,1,1,C], NHWC in)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.zeros(1, 1, 1, dim))
+        self.beta = tnn.Parameter(torch.zeros(1, 1, 1, dim))
+
+    def forward(self, x):
+        gx = torch.norm(x, p=2, dim=(1, 2), keepdim=True)
+        nx = gx / (gx.mean(dim=-1, keepdim=True) + 1e-6)
+        return self.gamma * (x * nx) + self.beta + x
+
+
+class _FBV2Block(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = tnn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = tnn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = tnn.Linear(dim, 4 * dim)
+        self.act = tnn.GELU()
+        self.grn = _FBGRN(4 * dim)
+        self.pwconv2 = tnn.Linear(4 * dim, dim)
+
+    def forward(self, x):
+        s = x
+        x = self.dwconv(x).permute(0, 2, 3, 1)
+        x = self.pwconv2(self.grn(self.act(self.pwconv1(self.norm(x)))))
+        return s + x.permute(0, 3, 1, 2)
+
+
+def test_convnextv2_torch_parity():
+    torch.manual_seed(8)
+    net = _FBConvNeXt((2, 2, 6, 2), (40, 80, 160, 320), num_classes=5,
+                      block=_FBV2Block).eval()
+    for m in net.modules():
+        if isinstance(m, _FBGRN):  # exercise GRN beyond its zero init
+            with torch.no_grad():
+                m.gamma.uniform_(0.5, 1.5)
+                m.beta.uniform_(-0.2, 0.2)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    got = _flax_logits("convnextv2_atto", net.state_dict(), x.numpy(),
+                       num_classes=5)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
