@@ -184,7 +184,31 @@ def wait_for_pending_saves() -> None:
 def load_checkpoint(path: str) -> Dict[str, Any]:
     wait_for_pending_saves()
     with open(path, "rb") as f:
-        return pickle.load(f)
+        ck = pickle.load(f)
+    return _dequantize_weights(ck)
+
+
+def _dequantize_weights(ck: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore fp32 kernels from a weight-only int8 checkpoint
+    (modelchange.dynamic_quantize_model stores per-output-channel absmax
+    scales under 'quant_scales'). Without this every loader would silently
+    use raw -127..127 int8 values as weights."""
+    scales = ck.get("quant_scales")
+    if not scales or not isinstance(ck.get("model"), dict):
+        return ck
+    model = dict(ck["model"])
+    for k, s in scales.items():
+        if k not in model:
+            continue
+        arr = np.asarray(model[k], np.float32)
+        model[k] = (arr.reshape(-1, arr.shape[-1]) * np.asarray(s)).reshape(
+            arr.shape
+        ).astype(np.float32)
+    ck["model"] = model
+    print(
+        f"Dequantized {len(scales)} {ck.get('quant_dtype', 'int8')} kernels"
+    )
+    return ck
 
 
 def load_params_with_pruning(

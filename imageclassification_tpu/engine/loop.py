@@ -15,10 +15,10 @@ from typing import Iterable
 import jax
 import numpy as np
 
-from ..utils.metrics import MetricLogger
+from ..utils.metrics import MetricLogger, per_class_precision_recall
 
 
-def _progress(total, epoch):
+def _progress():
     try:
         from rich.progress import Progress  # noqa
 
@@ -39,7 +39,6 @@ def train_one_epoch(
     log_writer=None,
     wandb_logger=None,
     start_steps: int = 0,
-    print_freq: int = 10,
 ):
     """Run one epoch; returns (state, stats dict). Mirrors the reference's
     per-epoch reporting: rich progress bar (engine.py:24-28), per-step TB/wandb
@@ -51,7 +50,7 @@ def train_one_epoch(
     fp = np.zeros(num_classes)
     fn = np.zeros(num_classes)
 
-    progress = _progress(len(data_loader), epoch)
+    progress = _progress()
     task = None
     if progress is not None:
         progress.start()
@@ -80,10 +79,10 @@ def train_one_epoch(
     end_time = time.time()
     metric_logger.synchronize_between_processes()
     print(f"Averaged stats:{metric_logger},Time:{end_time - start_time}")
+    precisions, recalls = per_class_precision_recall(tp, fp, fn)
     for i in range(num_classes):
-        precision = tp[i] / (tp[i] + fp[i]) if tp[i] + fp[i] > 0 else 0
-        recall = tp[i] / (tp[i] + fn[i]) if tp[i] + fn[i] > 0 else 0
-        print(f"Class {i}: Precision: {precision:.5f}, Recall: {recall:.5f}")
+        print(f"Class {i}: Precision: {precisions[i]:.5f}, "
+              f"Recall: {recalls[i]:.5f}")
 
     stats = {k: meter.global_avg for k, meter in metric_logger.meters.items()}
     return state, stats
@@ -98,7 +97,12 @@ def _drain(pending, metric_logger, tp, fp, fn, log_writer, wandb_logger):
     wd = float(m["weight_decay"])
     gn = float(m["grad_norm"])
     if m["skipped"] > 0:
+        # skipped step: the non-finite loss (and the per-class counts
+        # derived from NaN logits) must not poison the epoch averages —
+        # one transient bad step would turn train_loss into NaN for the
+        # whole epoch in log.txt/TB/wandb
         print(f"Loss is {loss}, skipping step")
+        return
     tp += np.asarray(m["tp"])
     fp += np.asarray(m["fp"])
     fn += np.asarray(m["fn"])
@@ -158,16 +162,14 @@ def evaluate(
         "acc1": float(100.0 * totals["top1_sum"] / n),
         "acc5": float(100.0 * totals["top5_sum"] / n),
     }
-    precisions, recalls = [], []
+    precisions, recalls = per_class_precision_recall(
+        totals["tp"], totals["fp"], totals["fn"]
+    )
     for i in range(num_classes):
-        tp, fp, fn = totals["tp"][i], totals["fp"][i], totals["fn"][i]
-        precision = tp / (tp + fp) if tp + fp > 0 else 0.0
-        recall = tp / (tp + fn) if tp + fn > 0 else 0.0
-        precisions.append(precision)
-        recalls.append(recall)
-        stats[f"precision_{i}"] = precision
-        stats[f"recall_{i}"] = recall
-        print(f"Class {i}: Precision: {precision:.5f}, Recall: {recall:.5f}")
+        stats[f"precision_{i}"] = precisions[i]
+        stats[f"recall_{i}"] = recalls[i]
+        print(f"Class {i}: Precision: {precisions[i]:.5f}, "
+              f"Recall: {recalls[i]:.5f}")
     stats["avg_precision"] = float(np.mean(precisions)) if precisions else 0.0
     stats["avg_recall"] = float(np.mean(recalls)) if recalls else 0.0
     print(

@@ -155,3 +155,16 @@ class MetricLogger:
                     header, total_time_str, total_time / total
                 )
             )
+
+
+def per_class_precision_recall(tp, fp, fn):
+    """Elementwise precision/recall with zero-denominator guards — the one
+    computation behind the per-class printouts in engine/loop.py (train and
+    eval) and val.py (each keeps its reference-parity print format)."""
+    precision = [
+        float(t) / (t + f) if t + f > 0 else 0.0 for t, f in zip(tp, fp)
+    ]
+    recall = [
+        float(t) / (t + f) if t + f > 0 else 0.0 for t, f in zip(tp, fn)
+    ]
+    return precision, recall

@@ -39,6 +39,16 @@ from imageclassification_tpu.checkpoint.io import load_checkpoint
 from val import initialize_model
 
 
+def _derive_out(pth_path: str, suffix: str) -> str:
+    """Output path from the input path — guaranteed DIFFERENT (a bare
+    `path.replace('.pth', suffix)` on an extensionless file returns the
+    input path unchanged and would overwrite the source checkpoint)."""
+    out = (pth_path[: -len(".pth")] + suffix) if pth_path.endswith(".pth") \
+        else pth_path + suffix
+    assert out != pth_path
+    return out
+
+
 def _forward_fn(model, batch_stats):
     def fwd(params, x):
         variables = {"params": params}
@@ -62,7 +72,7 @@ def convert_model_ema_to_model(pth_path: str, out_path: str | None = None) -> st
         ck["batch_stats"] = ck.pop("model_ema_batch_stats")
     ck.pop("optimizer", None)
     ck.pop("step", None)
-    out_path = out_path or pth_path.replace(".pth", "-ema.pth")
+    out_path = out_path or _derive_out(pth_path, "-ema.pth")
     with open(out_path, "wb") as f:
         pickle.dump(ck, f, protocol=pickle.HIGHEST_PROTOCOL)
     print(f"wrote {out_path}")
@@ -102,7 +112,7 @@ def dynamic_quantize_model(
     ck["model"] = qflat
     ck["quant_scales"] = scales
     ck["quant_dtype"] = dtype
-    out_path = out_path or pth_path.replace(".pth", f"-{dtype}.pth")
+    out_path = out_path or _derive_out(pth_path, f"-{dtype}.pth")
     with open(out_path, "wb") as f:
         pickle.dump(ck, f, protocol=pickle.HIGHEST_PROTOCOL)
     n_q = len(scales)
@@ -113,8 +123,9 @@ def dynamic_quantize_model(
 def _export_model(pth_path: str, model_ema: bool, platforms=None):
     from jax import export as jexport
 
-    ck = load_checkpoint(pth_path)
-    model, params, batch_stats, _ = initialize_model(pth_path, model_ema)
+    model, params, batch_stats, ck = initialize_model(
+        pth_path, model_ema, return_checkpoint=True
+    )
     shape = tuple(ck.get("input_shape") or (1, 224, 224, 3))
     fwd = _forward_fn(model, batch_stats)
     fn = jax.jit(lambda x: fwd(params, x))
@@ -137,7 +148,7 @@ def pth2stablehlo(
 
     exp, shape = _export_model(pth_path, model_ema, platforms=["cpu", "tpu"])
     data = exp.serialize()
-    out_path = out_path or pth_path.replace(".pth", ".stablehlo")
+    out_path = out_path or _derive_out(pth_path, ".stablehlo")
     with open(out_path, "wb") as f:
         f.write(data)
 
@@ -160,7 +171,7 @@ def pth2aot(
     reference modelchange.py:23-35): platform-tagged StableHLO that XLA
     consumes without retracing Python."""
     exp, _ = _export_model(pth_path, model_ema)
-    out_path = out_path or pth_path.replace(".pth", ".aot.stablehlo")
+    out_path = out_path or _derive_out(pth_path, ".aot.stablehlo")
     with open(out_path, "wb") as f:
         f.write(exp.serialize())
     print(f"wrote {out_path} (platforms={exp.platforms})")

@@ -130,3 +130,73 @@ def test_pth2stablehlo_roundtrip(trained_ckpt):
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(ref, np.float32), rtol=1e-2, atol=1e-3
     )
+
+
+def test_quantized_checkpoint_dequantizes_on_load(trained_ckpt):
+    """int8 checkpoints must be DEQUANTIZED by the loaders (raw -127..127
+    kernels would silently produce garbage predictions)."""
+    from modelchange import dynamic_quantize_model
+    from val import initialize_model, _predict_fn
+    import jax.numpy as jnp
+
+    _, ckpt = trained_ckpt
+    out = dynamic_quantize_model(ckpt, "int8")
+    model, p0, bs0, _ = initialize_model(ckpt, model_ema=False)
+    _, pq, bsq, _ = initialize_model(out, model_ema=False)
+    predict = _predict_fn(model)
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3)), jnp.uint8
+    )
+    a = np.asarray(predict(p0, bs0, x))
+    b = np.asarray(predict(pq, bsq, x))
+    np.testing.assert_allclose(a, b, atol=0.05)  # int8 weight-only error
+
+
+def test_derive_out_never_overwrites_input(tmp_path):
+    from modelchange import _derive_out
+
+    assert _derive_out("ck.pth", "-ema.pth") == "ck-ema.pth"
+    # extensionless input (user-renamed checkpoint) must NOT map to itself
+    assert _derive_out("checkpoint-best", "-ema.pth") == "checkpoint-best-ema.pth"
+    assert _derive_out("a.ckpt", ".stablehlo") == "a.ckpt.stablehlo"
+
+
+def test_val_precision_uses_training_class_mapping(
+    trained_ckpt, toy_dataset, tmp_path
+):
+    """Eval tree missing the alphabetically-first class: labels must come
+    from the training class_indices.json, not the folder's own order."""
+    from val import val_precision
+
+    _, ckpt = trained_ckpt
+    classes = sorted(os.listdir(toy_dataset))
+    sub = tmp_path / "subset"
+    sub.mkdir()
+    for cls in classes[1:]:  # drop class 0 ('cat')
+        shutil.copytree(os.path.join(toy_dataset, cls), sub / cls)
+    tp, fp, fn = val_precision(str(sub), ckpt, 32, model_ema=False,
+                               batch_size=8)
+    # no sample carries training label 0 — without the mapping, the first
+    # remaining folder would have been labeled 0 and these would be nonzero
+    assert tp[0] == 0 and fn[0] == 0
+    n_eval = sum(len(os.listdir(sub / c)) for c in classes[1:])
+    assert (tp[1:] + fn[1:]).sum() == n_eval  # every sample labeled 1 or 2
+
+
+def test_val_move_trailing_slash(trained_ckpt, toy_dataset, tmp_path):
+    """A trailing slash on --img_path must not nest Empty/NonEmpty inside
+    the scanned folder."""
+    from val import val_move
+
+    _, ckpt = trained_ckpt
+    src = tmp_path / "incoming2"
+    src.mkdir()
+    cls = sorted(os.listdir(toy_dataset))[0]
+    for f in os.listdir(os.path.join(toy_dataset, cls))[:2]:
+        shutil.copy(os.path.join(toy_dataset, cls, f), src / f)
+    val_move(str(src) + "/", ckpt, 32, model_ema=False, batch_size=4)
+    assert not (src / "Empty").exists() and not (src / "NonEmpty").exists()
+    moved = len(list((tmp_path / "Empty").glob("*"))) + len(
+        list((tmp_path / "NonEmpty").glob("*"))
+    )
+    assert moved == 2

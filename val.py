@@ -23,6 +23,7 @@ the same values as flags with those defaults.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import shutil
 
@@ -31,16 +32,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from imageclassification_tpu.checkpoint.io import load_checkpoint, load_params_with_pruning
-from imageclassification_tpu.data.folder import scan_folder
+from imageclassification_tpu.data.folder import IMG_EXTENSIONS, scan_folder
 from imageclassification_tpu.data.loader import decode_image
 from imageclassification_tpu.data.augment import eval_preprocess
 from imageclassification_tpu.models import create_model
 
-IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
 
-
-def initialize_model(model_weight_path: str, model_ema: bool, half_precision=True):
-    """Rebuild (model, params, batch_stats, num_classes) from a checkpoint."""
+def initialize_model(model_weight_path: str, model_ema: bool,
+                     half_precision=True, return_checkpoint=False):
+    """Rebuild (model, params, batch_stats, num_classes) from a checkpoint.
+    With return_checkpoint=True the last element is the loaded checkpoint
+    dict instead of num_classes (saves export callers a second unpickle)."""
     checkpoint = load_checkpoint(model_weight_path)
     num_classes = checkpoint["num_classes"]
     spec = checkpoint["model_spec"]
@@ -75,6 +77,8 @@ def initialize_model(model_weight_path: str, model_ema: bool, half_precision=Tru
         batch_stats, _ = load_params_with_pruning(
             batch_stats, stats_src, verbose=False
         )
+    if return_checkpoint:
+        return model, params, batch_stats, checkpoint
     return model, params, batch_stats, num_classes
 
 
@@ -105,8 +109,11 @@ def _batched(paths, img_size, batch):
 
 def val_move(img_path, model_weight_path, img_size, model_ema, batch_size=64):
     """Move each image into Empty/ (pred class 0) or NonEmpty/ (else)."""
-    empty_path = os.path.join(os.path.dirname(img_path), "Empty")
-    non_empty_path = os.path.join(os.path.dirname(img_path), "NonEmpty")
+    # normpath: a trailing slash on --img_path must not nest Empty/NonEmpty
+    # INSIDE the scanned folder
+    base = os.path.dirname(os.path.normpath(img_path))
+    empty_path = os.path.join(base, "Empty")
+    non_empty_path = os.path.join(base, "NonEmpty")
     os.makedirs(empty_path, exist_ok=True)
     os.makedirs(non_empty_path, exist_ok=True)
 
@@ -126,19 +133,48 @@ def val_move(img_path, model_weight_path, img_size, model_ema, batch_size=64):
             shutil.move(p, os.path.join(target, os.path.basename(p)))
 
 
+def _training_class_map(model_weight_path):
+    """{class_name: training_label} from the class_indices.json train.py
+    writes next to its checkpoints, if present."""
+    path = os.path.join(os.path.dirname(model_weight_path), "class_indices.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        inv = json.load(f)  # {"0": "cat", ...} (reference datasets.py:96-100)
+    return {name: int(idx) for idx, name in inv.items()}
+
+
 def val_precision(img_path, model_weight_path, img_size, model_ema, batch_size=64):
-    """Per-class precision/recall over an ImageFolder tree."""
+    """Per-class precision/recall over an ImageFolder tree.
+
+    Labels come from the TRAINING class mapping (class_indices.json next to
+    the checkpoint) when available — alphabetical order of the eval folder's
+    subdirs silently mislabels everything if the eval tree is missing a
+    class. Falls back to alphabetical (the reference's ImageFolder behavior)
+    when no mapping is found."""
     index = scan_folder(img_path)
     model, params, batch_stats, num_classes = initialize_model(
         model_weight_path, model_ema
     )
     predict = _predict_fn(model)
 
+    remap = None
+    train_map = _training_class_map(model_weight_path)
+    if train_map is not None:
+        missing = [c for c in index.class_to_idx if c not in train_map]
+        if missing:
+            print(f"classes not in training mapping, keeping folder order: {missing}")
+        else:
+            remap = {folder_id: train_map[name]
+                     for name, folder_id in index.class_to_idx.items()}
+
     tp = np.zeros(num_classes)
     fp = np.zeros(num_classes)
     fn = np.zeros(num_classes)
     paths = [p for p, _ in index.samples]
     labels = np.asarray([l for _, l in index.samples])
+    if remap is not None:
+        labels = np.asarray([remap[l] for l in labels])
     pos = 0
     for chunk, imgs in _batched(paths, img_size, batch_size):
         probs = np.asarray(predict(params, batch_stats, imgs))
@@ -149,10 +185,11 @@ def val_precision(img_path, model_weight_path, img_size, model_ema, batch_size=6
             tp[i] += np.sum((preds == i) & (targs == i))
             fp[i] += np.sum((preds == i) & (targs != i))
             fn[i] += np.sum((preds != i) & (targs == i))
+    from imageclassification_tpu.utils.metrics import per_class_precision_recall
+
+    precisions, recalls = per_class_precision_recall(tp, fp, fn)
     for i in range(num_classes):
-        precision = tp[i] / (tp[i] + fp[i]) if tp[i] + fp[i] > 0 else 0
-        recall = tp[i] / (tp[i] + fn[i]) if tp[i] + fn[i] > 0 else 0
-        print(f"Precision{i}: {precision:.5f}, Recall{i}: {recall:.5f}")
+        print(f"Precision{i}: {precisions[i]:.5f}, Recall{i}: {recalls[i]:.5f}")
     return tp, fp, fn
 
 
