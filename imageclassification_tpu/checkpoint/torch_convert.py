@@ -434,7 +434,9 @@ def load_pretrained_flat(path: str, model_name: str) -> dict:
             hasattr(v, "detach") for v in ck["model"].values()
         )
         if looks_repo and not has_torch_tensors:
-            return ck
+            from .io import _dequantize_weights
+
+            return _dequantize_weights(ck)
     if ck is None:  # torch zip format needs torch.load
         import torch
 
