@@ -154,9 +154,15 @@ class DeviceLoader:
             s = self.image_size
             return np.zeros((s, s, 3), dtype=np.uint8), -1
         path, label = self.dataset.samples[idx]
+        # collision-free (seed, idx) mix: the previous `(seed<<20)^(idx+1)`
+        # packing collided across adjacent epochs once idx exceeded 2^20
+        # (ImageNet-scale), silently reusing crop geometry
+        per_sample_seed = int(
+            np.random.SeedSequence([self.seed, idx + 1]).generate_state(1)[0]
+        )
         img = decode_image(
             path, self.image_size, self.train,
-            (self.seed << 20) ^ (idx + 1), self.scale, self.ratio,
+            per_sample_seed, self.scale, self.ratio,
         )
         return img, label
 
@@ -168,9 +174,12 @@ class DeviceLoader:
 
     def __iter__(self) -> Iterator[dict]:
         with ThreadPoolExecutor(self.num_workers) as pool:
-            pending: deque = deque()
             host_futures: deque = deque()
-            io_pool = ThreadPoolExecutor(1)
+            # one orchestrator thread per prefetched batch — a single thread
+            # would serialize _host_batch calls and cap the lookahead at one
+            # batch regardless of `prefetch` (the per-sample decodes inside
+            # still share the bounded `pool` above)
+            io_pool = ThreadPoolExecutor(max(1, self.prefetch))
             try:
                 steps = len(self.indices)
                 for k in range(min(self.prefetch, steps)):

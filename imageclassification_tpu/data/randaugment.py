@@ -61,14 +61,23 @@ def _op_rotate(img, m, rng):
 
 
 def _op_posterize_inc(img, m, rng):
+    # timm PosterizeIncreasing: 4 - int(m/10*4) bits kept, reaching 0 (black)
+    # at magnitude 10 — no floor-of-1 clamp
     bits = 4 - jnp.floor((m / _LEVEL_DENOM) * 4).astype(jnp.int32)
-    bits = jnp.clip(bits, 1, 8)
-    return I.posterize(img, bits)
+    return I.posterize(img, jnp.clip(bits, 0, 8))
 
 
 def _op_posterize(img, m, rng):
+    # timm 'Posterize' (rand non-inc + AA v0): int(m/10*4) bits kept (0-4).
+    # The 4-8 map belongs to PosterizeOriginal (AA 'original' policy) below.
+    bits = jnp.floor((m / _LEVEL_DENOM) * 4).astype(jnp.int32)
+    return I.posterize(img, jnp.clip(bits, 0, 8))
+
+
+def _op_posterize_original(img, m, rng):
+    # timm PosterizeOriginal (AutoAugment paper's ImageNet policy): 4-8 bits
     bits = jnp.floor((m / _LEVEL_DENOM) * 4).astype(jnp.int32) + 4
-    return I.posterize(img, jnp.clip(bits, 1, 8))
+    return I.posterize(img, jnp.clip(bits, 0, 8))
 
 
 def _op_solarize_inc(img, m, rng):
@@ -159,7 +168,10 @@ class RandAugmentConfig:
     def __init__(self, magnitude=10.0, num_layers=2, mstd=0.5, increasing=False,
                  prob=0.5):
         # magnitude defaults to 10 like timm's _RAND defaults, so policy
-        # strings without an mN token (e.g. 'rand-mstd0.5') match timm
+        # strings without an mN token (e.g. 'rand-mstd0.5') match timm;
+        # mstd defaults to 0.5 (timm AugmentOp's magnitude_std default) —
+        # the reference's own default policy pins mstd0.5 explicitly anyway
+        # (train.py:62 'rand-m9-mstd0.5-inc1')
         self.magnitude = magnitude
         self.num_layers = num_layers
         self.mstd = mstd
@@ -176,16 +188,20 @@ def parse_policy(aa: str) -> RandAugmentConfig:
         raise ValueError(f"Only rand-* policies parsed here, got {aa!r}")
     cfg = RandAugmentConfig()
     for tok in aa.split("-")[1:]:
-        if m := re.match(r"m(\d+)", tok):
-            cfg.magnitude = float(m.group(1))
-        elif m := re.match(r"n(\d+)", tok):
-            cfg.num_layers = int(m.group(1))
-        elif m := re.match(r"mstd([\d.]+)", tok):
+        if m := re.match(r"mstd([\d.]+)$", tok):
             cfg.mstd = float(m.group(1))
-        elif m := re.match(r"inc(\d+)", tok):
+        elif m := re.match(r"m(\d+)$", tok):
+            cfg.magnitude = float(m.group(1))
+        elif m := re.match(r"n(\d+)$", tok):
+            cfg.num_layers = int(m.group(1))
+        elif m := re.match(r"inc(\d+)$", tok):
             cfg.increasing = bool(int(m.group(1)))
-        elif m := re.match(r"p([\d.]+)", tok):
+        elif m := re.match(r"p([\d.]+)$", tok):
             cfg.prob = float(m.group(1))
+        else:
+            # timm asserts on unknown config sections — a typo like
+            # 'std0.5' must not silently train with default augmentation
+            raise ValueError(f"unknown RandAugment token {tok!r} in {aa!r}")
     cfg.ops = _RAND_INC_OPS if cfg.increasing else _RAND_OPS
     return cfg
 
@@ -354,8 +370,22 @@ class AutoAugmentConfig:
     def __init__(self, policy: str = "original"):
         import numpy as _np
 
+        if policy not in ("original", "v0"):
+            # timm asserts on unknown AA policies — don't silently train
+            # with the wrong augmentation (e.g. a typo or 'augmix-*')
+            raise ValueError(
+                f"unknown AutoAugment policy {policy!r} "
+                "(supported: 'original', 'v0', 'rand-*', 'abel-*')"
+            )
         table = _AA_ORIGINAL if policy != "v0" else _AA_V0
-        self.ops = _RAND_OPS
+        if policy == "original":
+            # the original ImageNet policy uses the 4-8 bit PosterizeOriginal
+            # map; v0 (and rand) use the 0-4 'Posterize' map
+            ops = list(_RAND_OPS)
+            ops[_OP_NAME_TO_INDEX["Posterize"]] = _op_posterize_original
+            self.ops = ops
+        else:
+            self.ops = _RAND_OPS
         self.op_idx = _np.array(
             [[_OP_NAME_TO_INDEX[a[0]], _OP_NAME_TO_INDEX[b[0]]] for a, b in table]
         )

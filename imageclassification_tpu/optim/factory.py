@@ -30,15 +30,19 @@ import optax
 
 from . import custom
 
-# torch-coupled-L2 optimizers: wd enters through the gradient.
+# torch-coupled-L2 optimizers: wd enters through the raw gradient.
+# NOT here: adafactor (timm applies decoupled lr-scaled decay —
+# optax.adafactor's weight_decay_rate) and nvnovograd (timm adds wd*p to
+# the NORMALIZED gradient — optax.scale_by_novograd's weight_decay).
 _COUPLED_WD = {
     "sgd", "nesterov", "momentum", "adam", "nadam", "radam", "adadelta",
-    "adafactor", "rmsprop", "rmsproptf", "nvnovograd",
+    "rmsprop", "rmsproptf",
 }
 
 KNOWN_OPTIMIZERS = sorted(
     _COUPLED_WD
     | {"adamw", "lion", "adamp", "sgdp", "lamb", "adahessian",
+       "adafactor", "nvnovograd",
        "fusedsgd", "fusedmomentum", "fusedadam", "fusedadamw", "fusedlamb",
        "fusednovograd"}
 )
@@ -131,7 +135,8 @@ def _make_chain(
     elif opt == "adafactor":
         return optax.chain(
             *pre,
-            optax.adafactor(learning_rate=learning_rate),
+            optax.adafactor(learning_rate=learning_rate,
+                            weight_decay_rate=weight_decay),
             *post,
         )
     elif opt in ("rmsprop", "rmsproptf"):
@@ -148,7 +153,8 @@ def _make_chain(
             optax.trace(decay=momentum, nesterov=False),
         ]
     elif opt == "nvnovograd":
-        core = [optax.scale_by_novograd(b1=0.95, b2=0.98, eps=eps)]
+        core = [optax.scale_by_novograd(b1=0.95, b2=0.98, eps=eps,
+                                        weight_decay=weight_decay)]
     elif opt == "lamb":
         core = [
             optax.scale_by_adam(b1=b1, b2=b2, eps=eps),

@@ -69,12 +69,22 @@ class WandbLogger:
             self._wandb.init(project=args.project, config=args.to_dict() if hasattr(args, "to_dict") else vars(args))
 
     def log_epoch_metrics(self, metrics, commit=True):
+        # 'epoch' must be logged alongside the Global Train/Test metrics —
+        # it is the step_metric set_steps() declares for them (reference
+        # utils.py:251-269 logs it with commit=False); n_parameters goes to
+        # the run summary like the reference
+        if "epoch" in metrics:
+            self._wandb.log({"epoch": metrics["epoch"]}, commit=False)
+        if "n_parameters" in metrics and self._wandb.run is not None:
+            self._wandb.run.summary["n_parameters"] = metrics["n_parameters"]
         for k, v in metrics.items():
+            if k in ("epoch", "n_parameters"):
+                continue
             if "train" in k:
                 self._wandb.log({f"Global Train/{k}": v}, commit=False)
             elif "test" in k:
                 self._wandb.log({f"Global Test/{k}": v}, commit=False)
-        self._wandb.log({})
+        self._wandb.log({}, commit=commit)
 
     def log_checkpoints(self):
         output_dir = self.args.output_dir

@@ -363,3 +363,49 @@ def test_color_jitter_fused_matches_op_chain():
     want = jax.vmap(I.adjust_saturation)(want, fs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_randaugment_rejects_unknown_tokens():
+    """timm asserts on unknown config sections; a typo must not silently
+    train with default augmentation."""
+    import pytest as _pytest
+
+    from imageclassification_tpu.data.randaugment import (
+        AutoAugmentConfig, parse_policy,
+    )
+
+    with _pytest.raises(ValueError, match="unknown RandAugment token"):
+        parse_policy("rand-m9-std0.5")  # typo: std vs mstd
+    with _pytest.raises(ValueError, match="unknown AutoAugment policy"):
+        AutoAugmentConfig("augmix-m5")
+    # the valid spellings still parse
+    cfg = parse_policy("rand-m7-mstd0.5-inc1-n3-p0.4")
+    assert cfg.magnitude == 7 and cfg.mstd == 0.5 and cfg.num_layers == 3
+    assert cfg.increasing and cfg.prob == 0.4
+
+
+def test_posterize_level_maps_match_timm():
+    """timm level maps: 'Posterize' (rand non-inc, AA v0) keeps 0-4 bits;
+    PosterizeIncreasing keeps 4-0 (reaching black); PosterizeOriginal
+    (AA 'original' table) keeps 4-8."""
+    import jax
+    import jax.numpy as jnp
+
+    from imageclassification_tpu.data import randaugment as ra
+
+    img = jnp.full((4, 4, 3), 255.0)
+    k = jax.random.key(0)
+    # magnitude 10: plain -> 4 bits kept (240), inc -> 0 bits (black),
+    # original -> 8 bits (unchanged)
+    assert float(ra._op_posterize(img, 10.0, k).max()) == 240.0
+    assert float(ra._op_posterize_inc(img, 10.0, k).max()) == 0.0
+    assert float(ra._op_posterize_original(img, 10.0, k).max()) == 255.0
+    # magnitude 0: plain -> 0 bits (black), inc -> 4 bits, original -> 4 bits
+    assert float(ra._op_posterize(img, 0.0, k).max()) == 0.0
+    assert float(ra._op_posterize_inc(img, 0.0, k).max()) == 240.0
+    assert float(ra._op_posterize_original(img, 0.0, k).max()) == 240.0
+    # AA original's op table routes Posterize to the 4-8 map
+    cfg = ra.AutoAugmentConfig("original")
+    pos = ra._OP_NAME_TO_INDEX["Posterize"]
+    assert cfg.ops[pos] is ra._op_posterize_original
+    assert ra.AutoAugmentConfig("v0").ops[pos] is ra._op_posterize
