@@ -112,6 +112,18 @@ def main():
 
     results = []
 
+    # 0. The exact default invocation: `python train.py --data_path <folder>`.
+    # Every flag keeps its dataclass default (notably --pretrained true with
+    # no local weights — must warn and train from scratch, not abort; the
+    # reference's default invocation trains after a hub download).
+    d0 = TrainConfig(
+        data_path=data,
+        output_dir=str(work / "c0" / "output"), log_dir=str(work / "c0" / "log"),
+    ).replace(device=a.device, epochs=epochs, input_size=size,
+              warmup_epochs=1, num_workers=8,
+              half_precision=a.device != "cpu")
+    results.append(run_config("default_invocation", d0))
+
     # 1. ResNet-50 single process, no mixup/EMA (BASELINE config 1)
     results.append(run_config(
         "resnet50_plain",

@@ -208,6 +208,12 @@ def _dequantize_weights(ck: Dict[str, Any]) -> Dict[str, Any]:
     print(
         f"Dequantized {len(scales)} {ck.get('quant_dtype', 'int8')} kernels"
     )
+    # The dict is now fp32; drop the quantization metadata so a tool that
+    # loads and re-pickles this checkpoint (e.g. convert_model_ema_to_model)
+    # cannot produce a file whose stale scales get re-applied to already-
+    # dequantized weights on the next load (silent corruption).
+    ck.pop("quant_scales", None)
+    ck.pop("quant_dtype", None)
     return ck
 
 

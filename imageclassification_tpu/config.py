@@ -121,6 +121,11 @@ class TrainConfig:
     # ~24% of step time); 'mixed' reads accuracy off the mixed-batch logits
     # against the hard labels (free, slightly pessimistic)
     train_acc_mode: str = "exact"
+    # grad-norm measurement norm type (reference get_grad_norm_ supports
+    # norm_type=2.0 or inf, utils.py:456-468); affects the REPORTED
+    # grad_norm metric only — clipping is always by global L2 norm like
+    # torch clip_grad_norm_'s default (utils.py:437-440)
+    grad_norm_type: float = 2.0   # 2.0 or float('inf') via --grad_norm_type inf
 
     # ---- runtime state injected at startup (reference utils.py:339-366) ----
     rank: int = 0
@@ -158,6 +163,8 @@ def get_args_parser() -> argparse.ArgumentParser:
             parser.add_argument(name, type=float, nargs="+", default=default)
         elif f.name == "clip_grad":
             parser.add_argument(name, type=float, default=default)
+        elif f.name == "grad_norm_type":
+            parser.add_argument(name, type=float, default=default)  # accepts 'inf'
         elif f.type in ("int", int):
             parser.add_argument(name, type=int, default=default)
         elif f.type in ("float", float):

@@ -198,6 +198,22 @@ def parse_policy(aa: str) -> RandAugmentConfig:
             cfg.increasing = bool(int(m.group(1)))
         elif m := re.match(r"p([\d.]+)$", tok):
             cfg.prob = float(m.group(1))
+        elif re.match(r"mmax(\d+)$", tok):
+            # timm: raises the magnitude upper bound above 10. Our level maps
+            # are pinned to the default _LEVEL_DENOM=10 scale, so accept the
+            # token (a reference-valid policy string must not abort training)
+            # but warn that magnitudes are interpreted on the /10 scale.
+            print(f"RandAugment: token {tok!r} accepted but ignored "
+                  "(magnitude scale fixed at 10)")
+        elif re.match(r"w(\d+)$", tok):
+            # timm: selects a hand-tuned probability-weight set for op
+            # sampling; we sample ops uniformly like the default timm path.
+            print(f"RandAugment: token {tok!r} accepted but ignored "
+                  "(uniform op sampling)")
+        elif re.match(r"t(\d+)$", tok):
+            # timm: number of transforms available — superseded by the op
+            # lists themselves here.
+            print(f"RandAugment: token {tok!r} accepted but ignored")
         else:
             # timm asserts on unknown config sections — a typo like
             # 'std0.5' must not silently train with default augmentation

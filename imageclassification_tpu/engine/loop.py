@@ -93,7 +93,8 @@ def _drain(pending, metric_logger, tp, fp, fn, log_writer, wandb_logger):
     m = jax.device_get(metrics)
     loss = float(m["loss"])
     class_acc = float(m["class_acc"])
-    lr = float(m["lr"])
+    lr = float(m["lr"])  # max effective lr over groups (reference engine.py:114)
+    min_lr = float(m.get("min_lr", m["lr"]))
     wd = float(m["weight_decay"])
     gn = float(m["grad_norm"])
     if m["skipped"] > 0:
@@ -111,7 +112,7 @@ def _drain(pending, metric_logger, tp, fp, fn, log_writer, wandb_logger):
         log_writer.update(loss=loss, head="loss")
         log_writer.update(class_acc=class_acc, head="loss")
         log_writer.update(lr=lr, head="opt")
-        log_writer.update(min_lr=lr, head="opt")
+        log_writer.update(min_lr=min_lr, head="opt")
         log_writer.update(weight_decay=wd, head="opt")
         log_writer.update(grad_norm=gn, head="opt")
         log_writer.set_step()
@@ -119,7 +120,7 @@ def _drain(pending, metric_logger, tp, fp, fn, log_writer, wandb_logger):
         wandb_logger._wandb.log({
             "Rank-0 Batch Wise/train_loss": loss,
             "Rank-0 Batch Wise/train_max_lr": lr,
-            "Rank-0 Batch Wise/train_min_lr": lr,
+            "Rank-0 Batch Wise/train_min_lr": min_lr,
             "Rank-0 Batch Wise/train_class_acc": class_acc,
             "Rank-0 Batch Wise/train_grad_norm": gn,
             "Rank-0 Batch Wise/global_train_step": it,

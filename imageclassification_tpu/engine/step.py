@@ -52,7 +52,14 @@ def _per_class_counts(preds, labels, num_classes, weights=None):
     return tp, fp, fn
 
 
-def _global_norm(tree):
+def _global_norm(tree, norm_type: float = 2.0):
+    """Global grad norm (reference get_grad_norm_, utils.py:456-468):
+    L2 by default; norm_type=inf returns the max absolute element."""
+    import math
+
+    if math.isinf(norm_type):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.max(jnp.stack([jnp.max(jnp.abs(l)) for l in leaves]))
     return optax.global_norm(tree)
 
 
@@ -65,6 +72,7 @@ def build_train_step(
     lr_schedule,
     wd_schedule,
     ema_decay: float = 0.9995,
+    lr_scale_bounds=(1.0, 1.0),
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -79,6 +87,11 @@ def build_train_step(
     use_hessian = needs_hessian(getattr(args, "opt", ""))
     lr_schedule = jnp.asarray(lr_schedule, jnp.float32)
     wd_schedule = jnp.asarray(wd_schedule, jnp.float32)
+    # under --layer_decay the per-group effective LRs span
+    # [lr*min_scale, lr*max_scale]; the reference reports the min/max over
+    # param groups each step (engine.py:101-117)
+    lr_scale_min = float(lr_scale_bounds[0])
+    lr_scale_max = float(lr_scale_bounds[1])
     has_dropout_like = True  # all models accept a dropout rng
 
     def loss_fn(params, batch_stats, images, targets, dropout_rng):
@@ -191,7 +204,11 @@ def build_train_step(
         opt_state = set_hyperparams(state.opt_state, lr, wd)
 
         # skipped steps report grad_norm 0 (grads are zeroed-or-discarded)
-        grad_norm = jnp.where(finite, _global_norm(accum), 0.0)
+        grad_norm = jnp.where(
+            finite,
+            _global_norm(accum, getattr(args, "grad_norm_type", 2.0)),
+            0.0,
+        )
         do_update = boundary & finite
 
         def apply_fn(operand):
@@ -252,10 +269,12 @@ def build_train_step(
         elif mixup_cfg is not None:
             # second forward on the un-mixed (but augmented) batch; BN uses
             # batch statistics (torch train-mode forward) but stats are
-            # discarded
-            variables = {"params": state.params}
+            # discarded. Runs on POST-update weights: the reference computes
+            # this after optimizer.step() + EMA update (engine.py:71-91), so
+            # the reported train accuracy reflects the step's new parameters.
+            variables = {"params": new_params}
             if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+                variables["batch_stats"] = new_stats
                 acc_logits, _ = model.apply(
                     variables, images, train=True,
                     rngs={"dropout": k_drop2}, mutable=["batch_stats"],
@@ -274,7 +293,8 @@ def build_train_step(
             "loss": loss,
             "class_acc": class_acc,
             "grad_norm": grad_norm,
-            "lr": lr,
+            "lr": lr * lr_scale_max,
+            "min_lr": lr * lr_scale_min,
             "weight_decay": wd,
             "tp": tp,
             "fp": fp,

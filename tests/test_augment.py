@@ -409,3 +409,15 @@ def test_posterize_level_maps_match_timm():
     pos = ra._OP_NAME_TO_INDEX["Posterize"]
     assert cfg.ops[pos] is ra._op_posterize_original
     assert ra.AutoAugmentConfig("v0").ops[pos] is ra._op_posterize
+
+
+def test_timm_extra_rand_tokens_accepted():
+    """timm also accepts w<idx> (weight set), mmax<val>, t<count> tokens —
+    a reference-valid policy string like 'rand-m9-n3-w0' must parse, not
+    abort training (they are ignored with a warning here)."""
+    from imageclassification_tpu.data.randaugment import parse_policy
+
+    cfg = parse_policy("rand-m9-n3-w0")
+    assert cfg.magnitude == 9 and cfg.num_layers == 3
+    cfg = parse_policy("rand-m9-mstd0.5-mmax20-t10")
+    assert cfg.magnitude == 9 and cfg.mstd == 0.5

@@ -254,3 +254,123 @@ def test_nonfinite_microstep_preserves_accumulated_window():
     assert float(mb["skipped"]) == 1.0
     state = state.replace(params=jax.tree.map(jnp.asarray, before))
     assert float(optax.global_norm(state.grad_accum)) == 0.0
+
+
+def test_min_lr_reflects_layer_decay_scales():
+    """Under --layer_decay the reported min_lr must be lr * min(scale), not a
+    duplicate of lr (reference computes min/max over param groups,
+    engine.py:101-117)."""
+    from imageclassification_tpu.optim.layer_decay import layer_decay_scales
+
+    cfg = TrainConfig(
+        model="resnet18", input_size=16, batch_size=4, mixup=0.0, cutmix=0.0,
+        smoothing=0.0, reprob=0.0, color_jitter=0.0, aa="",
+        half_precision=False, lr=0.1, layer_decay=0.7,
+    )
+    model = create_model("resnet18", num_classes=3)
+    tx0 = create_optimizer("sgd", 0.1, 0.0)
+    state = create_train_state(model, tx0, jax.random.key(0), (1, 16, 16, 3))
+    scales = layer_decay_scales(state.params, "resnet18", 0.7)
+    leaves = [float(s) for s in jax.tree.leaves(scales)]
+    tx = create_optimizer("sgd", 0.1, 0.0, layer_scales=scales)
+    state = create_train_state(model, tx, jax.random.key(0), (1, 16, 16, 3))
+    lr_s = np.full(8, 0.1, np.float32)
+    wd_s = np.zeros(8, np.float32)
+    step = jax.jit(
+        build_train_step(
+            model, tx, cfg, 3, None, lr_s, wd_s,
+            lr_scale_bounds=(min(leaves), max(leaves)),
+        ),
+        donate_argnums=(0,),
+    )
+    batch = {
+        "image": jnp.zeros((4, 16, 16, 3), jnp.uint8),
+        "label": jnp.asarray([0, 1, 2, 0], jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert min(leaves) < 1.0  # layer decay actually spreads the scales
+    assert abs(float(m["min_lr"]) - 0.1 * min(leaves)) < 1e-7
+    assert abs(float(m["lr"]) - 0.1 * max(leaves)) < 1e-7
+    assert float(m["min_lr"]) < float(m["lr"])
+
+
+def test_inf_grad_norm():
+    """--grad_norm_type inf reports max|g| (reference get_grad_norm_
+    norm_type=inf, utils.py:456-468)."""
+    from imageclassification_tpu.engine.step import _global_norm
+
+    tree = {"a": jnp.asarray([1.0, -7.0]), "b": jnp.asarray([[3.0, 2.0]])}
+    assert abs(float(_global_norm(tree, float("inf"))) - 7.0) < 1e-7
+    l2 = float(np.sqrt(1 + 49 + 9 + 4))
+    assert abs(float(_global_norm(tree, 2.0)) - l2) < 1e-5
+
+    cfg = TrainConfig(
+        model="resnet18", input_size=16, batch_size=4, mixup=0.0, cutmix=0.0,
+        smoothing=0.0, reprob=0.0, color_jitter=0.0, aa="",
+        half_precision=False, lr=0.1, grad_norm_type=float("inf"),
+    )
+    model = create_model("resnet18", num_classes=3)
+    tx = create_optimizer("sgd", 0.1, 0.0)
+    state = create_train_state(model, tx, jax.random.key(0), (1, 16, 16, 3))
+    lr_s = np.full(8, 0.1, np.float32)
+    wd_s = np.zeros(8, np.float32)
+    step = jax.jit(
+        build_train_step(model, tx, cfg, 3, None, lr_s, wd_s),
+        donate_argnums=(0,),
+    )
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (4, 16, 16, 3)), jnp.uint8
+        ),
+        "label": jnp.asarray([0, 1, 2, 0], jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["grad_norm"])) and float(m["grad_norm"]) > 0
+
+
+def test_mixup_accuracy_forward_uses_post_update_params():
+    """The exact-mode metric forward must see the stepped weights (reference
+    runs it after optimizer.step()+EMA, engine.py:71-91). With a large LR the
+    post-update logits differ measurably from pre-update ones — assert the
+    reported accuracy matches a reference computation on the NEW params."""
+    from imageclassification_tpu.data.augment import AugmentPipeline
+
+    cfg = TrainConfig(
+        model="resnet18", input_size=16, batch_size=4, mixup=1.0, cutmix=0.0,
+        smoothing=0.0, reprob=0.0, color_jitter=0.0, aa="",
+        half_precision=False, lr=5.0,
+    )
+    model = create_model("resnet18", num_classes=3)
+    tx = create_optimizer("sgd", 5.0, 0.0)
+    state = create_train_state(model, tx, jax.random.key(0), (1, 16, 16, 3))
+    mix = build_mixup(cfg, 3)
+    lr_s = np.full(8, 5.0, np.float32)
+    wd_s = np.zeros(8, np.float32)
+    step = jax.jit(build_train_step(model, tx, cfg, 3, mix, lr_s, wd_s))
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (4, 16, 16, 3)), jnp.uint8
+        ),
+        "label": jnp.asarray([0, 1, 2, 0], jnp.int32),
+    }
+    rng = jax.random.key(1)
+    new_state, m = step(state, batch, rng)
+
+    # recompute the metric forward exactly as the step does, on NEW params
+    step_rng = jax.random.fold_in(rng, 0)  # state.step == 0
+    k_aug, k_mix, k_drop, k_drop2 = jax.random.split(step_rng, 4)
+    images = AugmentPipeline(cfg)(batch["image"], k_aug)
+    logits_new, _ = model.apply(
+        {"params": new_state.params, "batch_stats": state.batch_stats},
+        images, train=True, rngs={"dropout": k_drop2}, mutable=["batch_stats"],
+    )
+    acc_new = float(
+        jnp.mean((jnp.argmax(logits_new, -1) == batch["label"]).astype(jnp.float32))
+    )
+    logits_old, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, train=True, rngs={"dropout": k_drop2}, mutable=["batch_stats"],
+    )
+    # post-update logits must actually differ from pre-update (lr=5 guarantees it)
+    assert float(jnp.max(jnp.abs(logits_new - logits_old))) > 1e-3
+    assert abs(float(m["class_acc"]) - acc_new) < 1e-6

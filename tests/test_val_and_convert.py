@@ -200,3 +200,27 @@ def test_val_move_trailing_slash(trained_ckpt, toy_dataset, tmp_path):
         list((tmp_path / "NonEmpty").glob("*"))
     )
     assert moved == 2
+
+
+def test_quantized_checkpoint_resave_reload_not_corrupted(trained_ckpt, tmp_path):
+    """A quantized checkpoint that is loaded (dequantized) and re-pickled by a
+    tool must NOT carry stale quant_scales: re-applying them on the next load
+    would corrupt the weights (round-2 advisor finding)."""
+    import pickle
+
+    from imageclassification_tpu.checkpoint.io import load_checkpoint
+    from modelchange import dynamic_quantize_model
+
+    _, ckpt = trained_ckpt
+    out = dynamic_quantize_model(ckpt, "int8")
+
+    first = load_checkpoint(out)        # dequantized fp32
+    assert "quant_scales" not in first and "quant_dtype" not in first
+
+    resaved = str(tmp_path / "resaved.pth")
+    with open(resaved, "wb") as f:
+        pickle.dump(first, f)
+    second = load_checkpoint(resaved)   # must NOT re-apply scales
+
+    k = next(k for k, v in second["model"].items() if v.ndim >= 2)
+    np.testing.assert_allclose(second["model"][k], first["model"][k])

@@ -125,10 +125,15 @@ def main(args: TrainConfig):
     print("Number of training steps per epoch = %d" % num_training_steps_per_epoch)
 
     # ---- init state ----
+    lr_scale_bounds = [1.0, 1.0]  # [min, max] over layer-decay groups
+
     def build_tx(params):
         scales = None
         if args.layer_decay and args.layer_decay < 1.0:
             scales = layer_decay_scales(params, args.model, args.layer_decay)
+            leaves = jax.tree_util.tree_leaves(scales)
+            lr_scale_bounds[0] = float(min(float(s) for s in leaves))
+            lr_scale_bounds[1] = float(max(float(s) for s in leaves))
         return create_optimizer(
             opt=args.opt,
             lr=args.lr,
@@ -193,14 +198,19 @@ def main(args: TrainConfig):
     elif (args.pretrained and not args.pretrained_path and not args.resume
           and not (args.auto_resume
                    and ckpt_io.find_latest_checkpoint(args.output_dir))):
-        # the reference would download hub weights here; zero-egress TPU pods
-        # can't, and silently training from scratch under --pretrained true
-        # would misrepresent the run — fail loudly with the recipe instead
-        raise RuntimeError(
-            "--pretrained true needs local weights: pass --pretrained_path "
-            "(a repo checkpoint, or a torch/timm state_dict converted via "
-            "imageclassification_tpu/checkpoint/torch_convert.py), or set "
-            "--pretrained false to train from scratch"
+        # the reference downloads hub weights here (timm, train.py:194); TPU
+        # pods are zero-egress, so the default invocation proceeds FROM
+        # SCRATCH with a loud warning instead of aborting — the reference's
+        # default `python train.py --data_path <dir>` must train
+        # (PARITY.md "Known deviations").
+        print(
+            "WARNING: --pretrained true but no local weights available "
+            "(no network egress on TPU pods) — TRAINING FROM SCRATCH. "
+            "Pass --pretrained_path (a repo checkpoint, or a torch/timm "
+            "state_dict converted via "
+            "imageclassification_tpu/checkpoint/torch_convert.py) to "
+            "fine-tune from pretrained weights.",
+            flush=True,
         )
 
     state, _ = ckpt_io.auto_load_model(args, state)
@@ -213,6 +223,7 @@ def main(args: TrainConfig):
             model, tx, args, num_classes, mixup_cfg,
             lr_schedule_values, wd_schedule_values,
             ema_decay=args.model_ema_decay,
+            lr_scale_bounds=tuple(lr_scale_bounds),
         ),
         donate_argnums=(0,),
     )
