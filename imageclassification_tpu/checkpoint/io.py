@@ -181,11 +181,15 @@ def wait_for_pending_saves() -> None:
         _PENDING_SAVES.pop().join()
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, dequantize: bool = True) -> Dict[str, Any]:
+    """Load a checkpoint dict. `dequantize=True` (the default, used by every
+    training/resume path) restores fp32 weights from int8 storage;
+    `dequantize=False` keeps int8 kernels + quant metadata for the quantized
+    inference path (ops/int8.py, val.py)."""
     wait_for_pending_saves()
     with open(path, "rb") as f:
         ck = pickle.load(f)
-    return _dequantize_weights(ck)
+    return _dequantize_weights(ck) if dequantize else ck
 
 
 def _dequantize_weights(ck: Dict[str, Any]) -> Dict[str, Any]:

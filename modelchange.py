@@ -7,9 +7,13 @@ Mapping from the reference's CUDA-serving formats to TPU/portable ones
   ----------------------------------+------------------------------------------
   convert_model_ema_to_model (:155) | same: promote EMA weights into `model`,
                                     | strip optimizer state
-  dynamic_quantize_model (:7-20)    | weight-only quantization of Dense/1x1
-                                    | kernels: int8 per-channel absmax scales,
-                                    | or bf16/fp16 cast
+  dynamic_quantize_model (:7-20)    | int8 per-channel absmax quantization;
+                                    | Dense kernels EXECUTE int8 at inference
+                                    | (dynamic activation quant + int8 MXU
+                                    | matmul, ops/int8.py — the analogue of
+                                    | quantize_dynamic's int8 nn.Linear);
+                                    | conv kernels are weight-only storage;
+                                    | bf16/fp16 modes cast
   pth2jit  (torch.jit.trace, :23)   | pth2aot: AOT-lowered XLA executable via
                                     | jax.export (compile-ready StableHLO,
                                     | platform-tagged)
@@ -49,11 +53,18 @@ def _derive_out(pth_path: str, suffix: str) -> str:
     return out
 
 
-def _forward_fn(model, batch_stats):
+def _forward_fn(model, batch_stats, qscales=None):
+    from imageclassification_tpu.ops.int8 import quantized_apply
+
     def fwd(params, x):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        if qscales:
+            # int8 checkpoints export the QUANTIZED forward — the serialized
+            # artifact runs int8 matmuls, like a TensorRT int8 engine
+            return quantized_apply(model, variables, x, qscales=qscales,
+                                   train=False)
         return model.apply(variables, x, train=False)
 
     return fwd
@@ -82,11 +93,15 @@ def convert_model_ema_to_model(pth_path: str, out_path: str | None = None) -> st
 def dynamic_quantize_model(
     pth_path: str, dtype: str = "int8", out_path: str | None = None
 ) -> str:
-    """Weight-only quantization of matmul kernels (reference
-    modelchange.py:7-20 quantizes Linear layers to int8/fp16).
+    """Quantize matmul kernels (reference modelchange.py:7-20,
+    torch.quantization.quantize_dynamic on nn.Linear).
 
-    int8: per-output-channel absmax scaling on 2-D kernels (Dense / 1×1 conv
-    collapsed); other tensors stay fp32. fp16/bf16: cast everything."""
+    int8: per-output-channel absmax scaling on ndim>=2 kernels. At inference
+    (val.py / StableHLO export) Dense/DenseGeneral kernels stay int8 and run
+    real int8 matmuls with dynamic activation quantization (ops/int8.py —
+    the reference's dynamic-int8 Linear execution); conv kernels are
+    weight-only storage, dequantized at load (the reference quantizes only
+    nn.Linear, so convs are fp32 there too). fp16/bf16: cast everything."""
     ck = load_checkpoint(pth_path)
     flat = ck["model"]
     qflat = {}
@@ -127,7 +142,8 @@ def _export_model(pth_path: str, model_ema: bool, platforms=None):
         pth_path, model_ema, return_checkpoint=True
     )
     shape = tuple(ck.get("input_shape") or (1, 224, 224, 3))
-    fwd = _forward_fn(model, batch_stats)
+    qscales = None if model_ema else ck.get("quant_exec_scales")
+    fwd = _forward_fn(model, batch_stats, qscales)
     fn = jax.jit(lambda x: fwd(params, x))
     kwargs = {}
     if platforms:

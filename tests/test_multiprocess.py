@@ -84,6 +84,42 @@ st2, ck = auto_load_model(args, st)
 assert ck is not None and ck["epoch"] == 0, ck and ck.get("epoch")
 assert args.start_epoch == 1
 
+# restored params are bit-identical to the saved (sharded) state: compare
+# global fingerprints (st.params is non-addressable, so sum under jit gives
+# the global value; st2.params came back as host numpy arrays)
+fp_saved = float(jax.jit(
+    lambda t: sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in jax.tree_util.tree_leaves(t))
+)(st.params))
+fp_loaded = float(sum(np.asarray(l, np.float64).sum() for l in jax.tree_util.tree_leaves(st2.params)))
+assert abs(fp_saved - fp_loaded) < 1e-3 * max(1.0, abs(fp_saved)), (fp_saved, fp_loaded)
+
+# ...and training CONTINUES under FSDP after the restart: reshard the loaded
+# state and take one real optimizer step
+from imageclassification_tpu.engine.step import build_train_step
+
+st2 = shard_params(mesh, st2, fsdp=True)
+cfg_step = TrainConfig(
+    model="resnet18", input_size=32, batch_size=4, mixup=0.0, cutmix=0.0,
+    smoothing=0.0, reprob=0.0, color_jitter=0.0, aa="", half_precision=False,
+    fsdp=True,
+)
+lr_s = np.full(8, 1e-3, np.float32)
+wd_s = np.full(8, 0.05, np.float32)
+train_step = jax.jit(
+    build_train_step(model, tx, cfg_step, 3, None, lr_s, wd_s),
+    donate_argnums=(0,),
+)
+tb = make_global_batch(mesh, {
+    "image": np.random.default_rng(rank).integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+    "label": np.full((4,), rank, np.int32),
+})
+st3, metrics = train_step(st2, tb, jax.random.key(5))
+assert np.isfinite(float(metrics["loss"])), float(metrics["loss"])
+fp_after = float(jax.jit(
+    lambda t: sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in jax.tree_util.tree_leaves(t))
+)(st3.params))
+assert abs(fp_after - fp_saved) > 0, "post-resume step must move the params"
+
 # --- sharded eval: global count equals dataset size exactly ------------------
 # eval_batches shards the val set into disjoint per-process slices; summing
 # the device-side valid-label counts over all steps must give n_samples once

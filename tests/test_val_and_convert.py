@@ -224,3 +224,25 @@ def test_quantized_checkpoint_resave_reload_not_corrupted(trained_ckpt, tmp_path
 
     k = next(k for k, v in second["model"].items() if v.ndim >= 2)
     np.testing.assert_allclose(second["model"][k], first["model"][k])
+
+
+def test_parity_harness_dry_run(tmp_path):
+    """The two-framework diff harness constructs both commands and degrades
+    gracefully when the reference's torch/timm env is absent."""
+    import json as _json
+    import subprocess as sp
+    import sys as _sys
+
+    out = tmp_path / "report.json"
+    r = sp.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      "benchmarks", "parity_vs_reference.py"),
+         "--dry_run", "--workdir", str(tmp_path / "runs"), "--out", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = _json.loads(out.read_text())
+    assert "train.py" in rep["ours"]["cmd"]
+    assert "--seed 88" in rep["recipe"]
+    assert rep["within_tolerance"] is None  # no runs executed in dry mode

@@ -42,8 +42,17 @@ def initialize_model(model_weight_path: str, model_ema: bool,
                      half_precision=True, return_checkpoint=False):
     """Rebuild (model, params, batch_stats, num_classes) from a checkpoint.
     With return_checkpoint=True the last element is the loaded checkpoint
-    dict instead of num_classes (saves export callers a second unpickle)."""
-    checkpoint = load_checkpoint(model_weight_path)
+    dict instead of num_classes (saves export callers a second unpickle).
+
+    int8 checkpoints (modelchange.dynamic_quantize_model) keep their Dense
+    kernels QUANTIZED — the forward then runs real int8 matmuls (reference
+    quantize_dynamic parity, modelchange.py:7-20). The active scales are
+    exposed as checkpoint['quant_exec_scales'] and honored by _predict_fn."""
+    from imageclassification_tpu.ops.int8 import split_executable_quant
+
+    checkpoint = load_checkpoint(model_weight_path, dequantize=False)
+    qscales = split_executable_quant(checkpoint)
+    checkpoint["quant_exec_scales"] = qscales
     num_classes = checkpoint["num_classes"]
     spec = checkpoint["model_spec"]
     kwargs = dict(spec.get("kwargs", {}))
@@ -82,14 +91,21 @@ def initialize_model(model_weight_path: str, model_ema: bool,
     return model, params, batch_stats, num_classes
 
 
-def _predict_fn(model):
+def _predict_fn(model, qscales=None):
+    from imageclassification_tpu.ops.int8 import quantized_apply
+
     @jax.jit
     def predict(params, batch_stats, images_u8):
         x = eval_preprocess(images_u8)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        logits = model.apply(variables, x, train=False).astype(jnp.float32)
+        if qscales:
+            logits = quantized_apply(
+                model, variables, x, qscales=qscales, train=False
+            ).astype(jnp.float32)
+        else:
+            logits = model.apply(variables, x, train=False).astype(jnp.float32)
         return jax.nn.softmax(logits, axis=-1)
 
     return predict
@@ -117,8 +133,10 @@ def val_move(img_path, model_weight_path, img_size, model_ema, batch_size=64):
     os.makedirs(empty_path, exist_ok=True)
     os.makedirs(non_empty_path, exist_ok=True)
 
-    model, params, batch_stats, _ = initialize_model(model_weight_path, model_ema)
-    predict = _predict_fn(model)
+    model, params, batch_stats, ck = initialize_model(
+        model_weight_path, model_ema, return_checkpoint=True
+    )
+    predict = _predict_fn(model, ck.get("quant_exec_scales"))
 
     files = sorted(
         f for f in os.listdir(img_path)
@@ -153,10 +171,11 @@ def val_precision(img_path, model_weight_path, img_size, model_ema, batch_size=6
     class. Falls back to alphabetical (the reference's ImageFolder behavior)
     when no mapping is found."""
     index = scan_folder(img_path)
-    model, params, batch_stats, num_classes = initialize_model(
-        model_weight_path, model_ema
+    model, params, batch_stats, ck = initialize_model(
+        model_weight_path, model_ema, return_checkpoint=True
     )
-    predict = _predict_fn(model)
+    num_classes = ck["num_classes"]
+    predict = _predict_fn(model, ck.get("quant_exec_scales"))
 
     remap = None
     train_map = _training_class_map(model_weight_path)
