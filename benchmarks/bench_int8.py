@@ -93,27 +93,29 @@ def accuracy(args):
     OUT.write_text(json.dumps(out, indent=2))
 
 
-def _time_forward(fn, x, carry0):
+def _time_forward(fn, x, carry0, weights):
     """Scan-difference per-step seconds (cancels tunnel RTT; BREAKDOWN.md)."""
     import jax
     import jax.numpy as jnp
 
+    # weights are passed as a jit ARGUMENT: closed-over weight constants blow
+    # the tunnel's compile-request size cap on ViT-B (HTTP 413)
     times = {}
     for K in (K_LO, K_HI):
-        def scanned(c, xx, K=K):
+        def scanned(c, xx, wts, K=K):
             def body(cc, _):
-                y = fn(xx + (cc * 0).astype(xx.dtype))
+                y = fn(wts, xx + (cc * 0).astype(xx.dtype))
                 m = y.astype(jnp.float32).mean()
                 return cc + m * 1e-7, m
             return jax.lax.scan(body, c, None, length=K)[1]
 
         f = jax.jit(scanned)
-        np.asarray(f(carry0, x))  # compile + fetch
+        np.asarray(f(carry0, x, weights))  # compile + fetch
         best = float("inf")
         for rep in range(3):
             c0 = carry0 + 1e-5 * (rep + 1)
             t0 = time.perf_counter()
-            np.asarray(f(c0, x))
+            np.asarray(f(c0, x, weights))
             best = min(best, time.perf_counter() - t0)
         times[K] = best
     return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
@@ -175,20 +177,20 @@ def throughput(args):
             rng.normal(0, 1, (args.batch, 224, 224, 3)), jnp.bfloat16
         )
 
-        def fwd_bf16(xx):
-            vv = {"params": params}
+        def fwd_bf16(wts, xx):
+            vv = {"params": wts}
             if bstats:
                 vv["batch_stats"] = bstats
             return model.apply(vv, xx, train=False)
 
-        def fwd_int8(xx):
-            vv = {"params": qparams}
+        def fwd_int8(wts, xx):
+            vv = {"params": wts}
             if bstats:
                 vv["batch_stats"] = bstats
             return quantized_apply(model, vv, xx, qscales=qscales, train=False)
 
-        t_bf16 = _time_forward(fwd_bf16, x, jnp.bfloat16(0.0))
-        t_int8 = _time_forward(fwd_int8, x, jnp.bfloat16(0.0))
+        t_bf16 = _time_forward(fwd_bf16, x, jnp.float32(0.0), params)
+        t_int8 = _time_forward(fwd_int8, x, jnp.float32(0.0), qparams)
         rows[name] = {
             "batch": args.batch,
             "n_int8_kernels": len(qscales),

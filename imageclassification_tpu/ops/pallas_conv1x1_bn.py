@@ -28,10 +28,26 @@ resident in VMEM. Each grid step:
 Outputs: y (M, N) bf16 and stats (2, N) fp32 — exactly what train-mode BN
 needs (mean = s0/M, var = s1/M - mean^2).
 
-Measured verdict lives in benchmarks/conv1x1_bn_bench.json (bench:
-benchmarks/bench_conv1x1_bn.py). Like the dwconv/LayerNorm/flash-attention
-matchups before it, the kernel ships with golden tests either way; the model
-path adopts it only where it beats XLA on the real chip.
+Measured verdict (round 3, real v5e chip): **XLA wins — kernel kept as the
+measured baseline, model path unchanged.** Receipts in
+benchmarks/conv1x1_bn_bench.json (bench: benchmarks/bench_conv1x1_bn.py):
+
+* On the full chain conv->stats->normalize+ReLU->conv (the pattern a ResNet
+  bottleneck executes), XLA's measured time is AT OR BELOW the minimum-
+  traffic bound of the *ideal fused kernel* at 3 of 4 shapes (e.g.
+  0.285 ms vs 0.314 ms ideal at 100352x512x128) — XLA already hides the
+  stat-read pass behind the matmul/conv pipeline, so there is no separate
+  reduce pass left to delete in the forward.
+* The conv-op formulation beats the dot formulation of the same chain 2.3x
+  (0.255 vs 0.591 ms at stage-2 shape): XLA's TPU convolution emitter +
+  fusion is STRONGER than its dot path here — rewriting 1x1 convs as
+  reshaped matmuls (this kernel's premise) starts from a handicap.
+* fwd+bwd of the chain measures 0.70 ms vs an idealized perfect-fusion
+  bound of 0.44 ms (~62% of ideal); this Pallas matmul reaches only
+  30-50% of the bound in isolation, so even a full custom backward could
+  not close the gap.
+Same conclusion as the dwconv/LayerNorm/flash-attention matchups: on v5e,
+XLA's memory-bound codegen is the bar, and it is high.
 """
 
 from __future__ import annotations
@@ -45,35 +61,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, y_ref, stats_ref, *, n_tiles: int):
-    """One M-tile: matmul + stat epilogue."""
-    i = pl.program_id(0)
-
-    acc = jnp.dot(
-        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
-    )
-    y_ref[:] = acc.astype(y_ref.dtype)
-
+def _accumulate_stats(i, n_tiles, acc, stats_ref, scratch):
+    """Accumulate (colsum, colsumsq) of the fp32 tile in a VMEM scratch;
+    write the (2, N) output once, on the last grid step (TPU grids run
+    sequentially, so the scratch persists across steps)."""
     s0 = jnp.sum(acc, axis=0, keepdims=True)           # (1, N)
     s1 = jnp.sum(acc * acc, axis=0, keepdims=True)     # (1, N)
     tile_stats = jnp.concatenate([s0, s1], axis=0)      # (2, N)
 
     @pl.when(i == 0)
     def _():
-        stats_ref[:] = tile_stats
+        scratch[:] = tile_stats
 
     @pl.when(i > 0)
     def _():
-        stats_ref[:] = stats_ref[:] + tile_stats
+        scratch[:] = scratch[:] + tile_stats
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        stats_ref[:] = scratch[:]
+
+
+def _kernel(x_ref, w_ref, y_ref, stats_ref, scratch, *, n_tiles: int):
+    """One M-tile: matmul + stat epilogue."""
+    i = pl.program_id(0)
+    acc = jnp.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    )
+    y_ref[:] = acc.astype(y_ref.dtype)
+    _accumulate_stats(i, n_tiles, acc, stats_ref, scratch)
 
 
 def _kernel_bn_in(x_ref, scale_ref, shift_ref, w_ref, y_ref, stats_ref,
-                  *, n_tiles: int, relu_in: bool):
+                  scratch, *, n_tiles: int, relu_in: bool):
     """Variant with the previous layer's BN-apply (+ReLU) fused into the
     input read: x_norm = relu(x * scale + shift), where scale/shift fold the
     previous BN's (gamma, beta, mean, var)."""
     i = pl.program_id(0)
-
     x = x_ref[:].astype(jnp.float32) * scale_ref[:] + shift_ref[:]
     if relu_in:
         x = jnp.maximum(x, 0.0)
@@ -81,18 +105,7 @@ def _kernel_bn_in(x_ref, scale_ref, shift_ref, w_ref, y_ref, stats_ref,
         x.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
     )
     y_ref[:] = acc.astype(y_ref.dtype)
-
-    s0 = jnp.sum(acc, axis=0, keepdims=True)
-    s1 = jnp.sum(acc * acc, axis=0, keepdims=True)
-    tile_stats = jnp.concatenate([s0, s1], axis=0)
-
-    @pl.when(i == 0)
-    def _():
-        stats_ref[:] = tile_stats
-
-    @pl.when(i > 0)
-    def _():
-        stats_ref[:] = stats_ref[:] + tile_stats
+    _accumulate_stats(i, n_tiles, acc, stats_ref, scratch)
 
 
 def _pick_tile_m(m: int, k: int, n: int, dtype_bytes: int = 2,
@@ -150,6 +163,8 @@ def conv1x1_bn_stats(
         transcendentals=0,
     )
 
+    scratch_shapes = [pltpu.VMEM((2, n), jnp.float32)]
+
     if prev_scale is None:
         return pl.pallas_call(
             functools.partial(_kernel, n_tiles=grid[0]),
@@ -162,6 +177,7 @@ def conv1x1_bn_stats(
             ],
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             cost_estimate=cost,
             interpret=interpret,
         )(x, w)
@@ -180,6 +196,7 @@ def conv1x1_bn_stats(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         cost_estimate=cost,
         interpret=interpret,
     )(x, scale, shift, w)
