@@ -254,21 +254,29 @@ def main():
 
     if os.environ.get("BENCH_MODELS"):
         # per-family training throughput (img/s only — FLOPs differ per model)
-        rows = {}
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "bench_models.json")
         for name in os.environ["BENCH_MODELS"].split(","):
             name = name.strip()
             step_fn, fresh_state, data = _build(batch, model_name=name)
             per = time_scan(step_fn, fresh_state, data)
-            rows[name] = {
+            row = {
                 "batch": batch,
                 "ms_per_step": round(per * 1e3, 2),
                 "images_per_sec": round(batch / per, 1),
             }
-            print(name, rows[name], flush=True)
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchmarks", "bench_models.json")
-        with open(out, "w") as f:
-            json.dump(rows, f, indent=2)
+            print(name, row, flush=True)
+            # merge-and-write per model so families can be re-benched
+            # incrementally and a crash loses nothing — this file is the
+            # SINGLE source of truth for every published per-family number
+            # (BREAKDOWN.md + README tables are derived from it)
+            merged = {}
+            if os.path.exists(out):
+                with open(out) as f:
+                    merged = json.load(f)
+            merged[name] = row
+            with open(out, "w") as f:
+                json.dump(merged, f, indent=2)
 
     step_fn, fresh_state, data = _build(batch)
     if mode == "dispatch":
