@@ -39,8 +39,13 @@ from imageclassification_tpu.config import TrainConfig  # noqa: E402
 
 
 def run(tag: str, cfg: TrainConfig, epochs: int):
+    import shutil
+
     import train as train_cli
 
+    # fresh workdir: stale checkpoints would auto-resume and stale log.txt
+    # lines would contaminate the best-top1 scan
+    shutil.rmtree(Path(cfg.output_dir).parent, ignore_errors=True)
     t0 = time.time()
     train_cli.main(cfg)
     wall = time.time() - t0
@@ -68,8 +73,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--device", default="tpu")
+    p.add_argument("--configs", default="c3,c4,c5",
+                   help="comma list of configs to (re)run")
     p.add_argument("--out", default=str(Path(__file__).parent / "results.json"))
     a = p.parse_args()
+    which = set(a.configs.split(","))
 
     if a.device == "cpu":
         import jax
@@ -99,49 +107,57 @@ def main():
     rows = []
 
     # --- c3: ConvNeXt-T + EMA + layer-wise LR decay ---
-    r3 = run("c3_ema_digits", base(
-        "c3", model="convnext_tiny", drop_path=0.1, model_ema=True,
-        model_ema_decay=round(ema_decay, 4), layer_decay=0.9,
-    ), a.epochs)
-    r3["pass_ema_within_2pts"] = (
-        r3.get("val_top1_best_ema", 0) >= r3["val_top1_best"] - 2.0
-    )
-    rows.append(r3)
+    if "c3" in which:
+        r3 = run("c3_ema_digits", base(
+            "c3", model="convnext_tiny", drop_path=0.1, model_ema=True,
+            model_ema_decay=round(ema_decay, 4), layer_decay=0.9,
+        ), a.epochs)
+        r3["pass_ema_within_2pts"] = (
+            r3.get("val_top1_best_ema", 0) >= r3["val_top1_best"] - 2.0
+        )
+        rows.append(r3)
 
     # --- c4: ViT transfer vs scratch at equal epochs ---
     # pretrain source: digits 0-4 only — a genuinely different (sub)task, so
-    # the fine-tune exercises head pruning AND feature transfer
-    half = Path("/tmp/digits_ds_04")
-    if not half.is_dir():
-        half.mkdir(parents=True)
-        for c in range(5):
-            (half / f"digit{c}").symlink_to(Path(data) / f"digit{c}")
-    pre_epochs = max(a.epochs // 2, 5)
-    run("c4_pretrain_source", base(
-        "c4_pre", model="vit_tiny_patch16", mixup=0.0, cutmix=0.0,
-        epochs=pre_epochs, data_path=str(half),
-    ), pre_epochs)
-    r4s = run("c4_scratch", base(
-        "c4_scratch", model="vit_tiny_patch16", epochs=a.epochs,
-    ), a.epochs)
-    r4t = run("c4_transfer", base(
-        "c4_transfer", model="vit_tiny_patch16", epochs=a.epochs,
-        pretrained=True,
-        pretrained_path=str(work / "c4_pre" / "output"
-                            / f"checkpoint-{pre_epochs - 1}.pth"),
-    ), a.epochs)
-    r4t["scratch_top1_equal_epochs"] = r4s["val_top1_best"]
-    r4t["pass_transfer_beats_scratch"] = (
-        r4t["val_top1_best"] >= r4s["val_top1_best"]
-    )
-    rows += [r4s, r4t]
+    # the fine-tune exercises head pruning AND feature transfer. ViT-tiny on
+    # 1.5k images cannot absorb the heavy mixup/cutmix recipe in this
+    # horizon (measured ~20% top-1), so c4 uses the plain recipe — the same
+    # choice the acceptance matrix makes for its transfer config.
+    if "c4" in which:
+        plain = dict(mixup=0.0, cutmix=0.0, aa="", reprob=0.0)
+        half = Path("/tmp/digits_ds_04")
+        if not half.is_dir():
+            half.mkdir(parents=True)
+            for c in range(5):
+                (half / f"digit{c}").symlink_to(Path(data) / f"digit{c}")
+        pre_epochs = max(a.epochs // 2, 5)
+        run("c4_pretrain_source", base(
+            "c4_pre", model="vit_tiny_patch16", epochs=pre_epochs,
+            data_path=str(half), **plain,
+        ), pre_epochs)
+        r4s = run("c4_scratch", base(
+            "c4_scratch", model="vit_tiny_patch16", epochs=a.epochs, **plain,
+        ), a.epochs)
+        r4t = run("c4_transfer", base(
+            "c4_transfer", model="vit_tiny_patch16", epochs=a.epochs,
+            pretrained=True,
+            pretrained_path=str(work / "c4_pre" / "output"
+                                / f"checkpoint-{pre_epochs - 1}.pth"),
+            **plain,
+        ), a.epochs)
+        r4t["scratch_top1_equal_epochs"] = r4s["val_top1_best"]
+        r4t["pass_transfer_beats_scratch"] = (
+            r4t["val_top1_best"] >= r4s["val_top1_best"]
+        )
+        rows += [r4s, r4t]
 
     # --- c5: RASampler + EMA (DP recipe) ---
-    r5 = run("c5_rasampler_digits", base(
-        "c5", model="resnet18", RASampler=True, model_ema=True,
-        model_ema_decay=round(ema_decay, 4),
-    ), a.epochs)
-    rows.append(r5)
+    if "c5" in which:
+        r5 = run("c5_rasampler_digits", base(
+            "c5", model="resnet18", RASampler=True, model_ema=True,
+            model_ema_decay=round(ema_decay, 4),
+        ), a.epochs)
+        rows.append(r5)
 
     out = Path(a.out)
     existing = json.loads(out.read_text()) if out.exists() else []
