@@ -256,6 +256,17 @@ def main():
         # per-family training throughput (img/s only — FLOPs differ per model)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "bench_models.json")
+        try:
+            import subprocess
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except Exception:
+            rev = ""
+        if os.environ.get("BENCH_FRESH") and os.path.exists(out):
+            os.remove(out)  # drop rows for renamed/removed models
         for name in os.environ["BENCH_MODELS"].split(","):
             name = name.strip()
             step_fn, fresh_state, data = _build(batch, model_name=name)
@@ -264,6 +275,10 @@ def main():
                 "batch": batch,
                 "ms_per_step": round(per * 1e3, 2),
                 "images_per_sec": round(batch / per, 1),
+                # marks which code revision measured this row — a stale row
+                # from a renamed/removed model is detectable (BENCH_FRESH=1
+                # resets the file entirely)
+                "code_rev": rev,
             }
             print(name, row, flush=True)
             # merge-and-write per model so families can be re-benched

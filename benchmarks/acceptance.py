@@ -116,6 +116,12 @@ def main():
     # Every flag keeps its dataclass default (notably --pretrained true with
     # no local weights — must warn and train from scratch, not abort; the
     # reference's default invocation trains after a hub download).
+    # Defaults include auto_resume=True, so wipe the workdir: a stale
+    # checkpoint from a prior harness run would auto-resume at start_epoch ==
+    # epochs, train nothing, and report the previous run's numbers.
+    import shutil
+
+    shutil.rmtree(work / "c0", ignore_errors=True)
     d0 = TrainConfig(
         data_path=data,
         output_dir=str(work / "c0" / "output"), log_dir=str(work / "c0" / "log"),

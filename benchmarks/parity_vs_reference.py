@@ -115,8 +115,12 @@ def main():
                    help="device for THIS repo's run (reference uses cuda/cpu)")
     p.add_argument("--dry_run", action="store_true",
                    help="construct commands + report without training")
-    p.add_argument("--out", default=str(Path(__file__).parent / "parity_report.json"))
+    p.add_argument("--out", default="")
     a = p.parse_args()
+    if not a.out:
+        # dry runs must not masquerade as measurement receipts
+        name = "parity_report_dryrun.json" if a.dry_run else "parity_report.json"
+        a.out = str(Path(__file__).parent / name)
 
     flags = recipe_flags(a)
     work = Path(a.workdir)
@@ -124,6 +128,7 @@ def main():
         "dataset": a.data_path,
         "recipe": " ".join(flags),
         "tolerance_pts": TOLERANCE_PTS,
+        "dry_run": bool(a.dry_run),
     }
 
     # ---- reference side ----

@@ -163,8 +163,6 @@ def get_args_parser() -> argparse.ArgumentParser:
             parser.add_argument(name, type=float, nargs="+", default=default)
         elif f.name == "clip_grad":
             parser.add_argument(name, type=float, default=default)
-        elif f.name == "grad_norm_type":
-            parser.add_argument(name, type=float, default=default)  # accepts 'inf'
         elif f.type in ("int", int):
             parser.add_argument(name, type=int, default=default)
         elif f.type in ("float", float):

@@ -118,8 +118,13 @@ def _pick_tile_m(m: int, k: int, n: int, dtype_bytes: int = 2,
         need += k * n * dtype_bytes + 2 * n * 4 * 2
         if need <= vmem_budget and m % tile == 0:
             return tile
+    if m % 128 != 0:
+        raise ValueError(
+            f"M={m} must be a multiple of 128 (batch*H*W of a standard input)"
+        )
     raise ValueError(
-        f"M={m} must be a multiple of 128 (batch*H*W of a standard input)"
+        f"weight block ({k}x{n}) too large for the {vmem_budget >> 20} MiB "
+        "VMEM budget at any M tile size"
     )
 
 

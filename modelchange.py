@@ -142,7 +142,13 @@ def _export_model(pth_path: str, model_ema: bool, platforms=None):
         pth_path, model_ema, return_checkpoint=True
     )
     shape = tuple(ck.get("input_shape") or (1, 224, 224, 3))
-    qscales = None if model_ema else ck.get("quant_exec_scales")
+    # qscales passed unconditionally: if --model_ema fell back to the raw
+    # (still-int8) weights because the checkpoint has no EMA, the quantized
+    # path MUST run — the interceptor's kernel.dtype==int8 check already
+    # exempts genuine fp32 EMA params, so this is safe in both cases
+    # (exporting plain model.apply over int8 kernels would silently bake
+    # unscaled -127..127 weights into the artifact).
+    qscales = ck.get("quant_exec_scales")
     fwd = _forward_fn(model, batch_stats, qscales)
     fn = jax.jit(lambda x: fwd(params, x))
     kwargs = {}

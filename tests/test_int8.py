@@ -215,3 +215,28 @@ def test_stablehlo_export_of_quantized_ckpt(vit_ckpt):
         np.asarray(exported.call(x), np.float32), np.asarray(ref, np.float32),
         rtol=1e-2, atol=1e-3,
     )
+
+
+def test_stablehlo_export_model_ema_fallback_stays_quantized(vit_ckpt):
+    """--model_ema export of a quantized checkpoint WITHOUT EMA weights falls
+    back to the raw (int8) weights — the export must still run the quantized
+    forward, not bake unscaled int8 kernels into the artifact."""
+    from modelchange import dynamic_quantize_model, load_stablehlo, pth2stablehlo
+    from val import initialize_model
+
+    qck = dynamic_quantize_model(vit_ckpt, "int8")
+    out = pth2stablehlo(qck, model_ema=True)  # ckpt has no model_ema
+    exported = load_stablehlo(out)
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(0, 1, (1, 32, 32, 3)), jnp.float32
+    )
+    got = np.asarray(exported.call(x), np.float32)
+
+    # reference: fp32 model from the ORIGINAL checkpoint
+    model, p0, bs0, _ = initialize_model(vit_ckpt, model_ema=False)
+    v = {"params": p0}
+    if bs0:
+        v["batch_stats"] = bs0
+    ref = np.asarray(model.apply(v, x, train=False), np.float32)
+    # int8 drift is small; unscaled int8 weights would be off by ~100x
+    assert np.abs(got - ref).max() < 0.1 * max(1.0, np.abs(ref).max())
