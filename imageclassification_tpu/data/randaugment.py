@@ -166,7 +166,7 @@ _RAND_OPS: List[Callable] = [
 
 class RandAugmentConfig:
     def __init__(self, magnitude=10.0, num_layers=2, mstd=0.5, increasing=False,
-                 prob=0.5):
+                 prob=0.5, mmax=10.0):
         # magnitude defaults to 10 like timm's _RAND defaults, so policy
         # strings without an mN token (e.g. 'rand-mstd0.5') match timm;
         # mstd defaults to 0.5 (timm AugmentOp's magnitude_std default) —
@@ -177,6 +177,10 @@ class RandAugmentConfig:
         self.mstd = mstd
         self.increasing = increasing
         self.prob = prob
+        # timm magnitude_max: the sampled magnitude is clipped to
+        # [0, mmax] while level maps stay on the /10 scale, so mmax>10
+        # scales ops beyond their nominal ranges (timm auto_augment.py)
+        self.mmax = mmax
         self.ops = _RAND_INC_OPS if increasing else _RAND_OPS
 
 
@@ -198,13 +202,10 @@ def parse_policy(aa: str) -> RandAugmentConfig:
             cfg.increasing = bool(int(m.group(1)))
         elif m := re.match(r"p([\d.]+)$", tok):
             cfg.prob = float(m.group(1))
-        elif re.match(r"mmax(\d+)$", tok):
-            # timm: raises the magnitude upper bound above 10. Our level maps
-            # are pinned to the default _LEVEL_DENOM=10 scale, so accept the
-            # token (a reference-valid policy string must not abort training)
-            # but warn that magnitudes are interpreted on the /10 scale.
-            print(f"RandAugment: token {tok!r} accepted but ignored "
-                  "(magnitude scale fixed at 10)")
+        elif m := re.match(r"mmax(\d+)$", tok):
+            # timm magnitude_max: raise the magnitude clip bound above 10
+            # (level maps stay on the /10 scale, matching timm exactly)
+            cfg.mmax = float(m.group(1))
         elif re.match(r"w(\d+)$", tok):
             # timm: selects a hand-tuned probability-weight set for op
             # sampling; we sample ops uniformly like the default timm path.
@@ -297,7 +298,7 @@ def rand_augment_image(img, rng, cfg: RandAugmentConfig):
             m = cfg.magnitude + cfg.mstd * jax.random.normal(k_mag)
         else:
             m = jnp.asarray(cfg.magnitude, jnp.float32)
-        m = jnp.clip(m, 0.0, _LEVEL_DENOM)
+        m = jnp.clip(m, 0.0, cfg.mmax)
         out = _apply_op(img, op_idx, m, k_inner, cfg.ops)
         apply = jax.random.bernoulli(k_apply, cfg.prob)
         img = jnp.where(apply, out, img)

@@ -421,3 +421,6 @@ def test_timm_extra_rand_tokens_accepted():
     assert cfg.magnitude == 9 and cfg.num_layers == 3
     cfg = parse_policy("rand-m9-mstd0.5-mmax20-t10")
     assert cfg.magnitude == 9 and cfg.mstd == 0.5
+    # mmax raises the magnitude CLIP bound (timm magnitude_max semantics)
+    assert cfg.mmax == 20.0
+    assert parse_policy("rand-m9").mmax == 10.0
