@@ -126,6 +126,13 @@ class TrainConfig:
     # grad_norm metric only — clipping is always by global L2 norm like
     # torch clip_grad_norm_'s default (utils.py:437-440)
     grad_norm_type: float = 2.0   # 2.0 or float('inf') via --grad_norm_type inf
+    # ---- knowledge distillation (beyond reference: its README todo #5) ----
+    # teacher_path: a repo checkpoint; the teacher is rebuilt from its own
+    # model_spec and runs an eval-mode forward inside the jit step.
+    # loss = (1-alpha)*base + alpha * tau^2 * KL(teacher/tau || student/tau)
+    teacher_path: str = ""
+    distillation_alpha: float = 0.0
+    distillation_tau: float = 1.0
 
     # ---- runtime state injected at startup (reference utils.py:339-366) ----
     rank: int = 0

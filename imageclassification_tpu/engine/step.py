@@ -73,6 +73,7 @@ def build_train_step(
     wd_schedule,
     ema_decay: float = 0.9995,
     lr_scale_bounds=(1.0, 1.0),
+    teacher=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -93,6 +94,23 @@ def build_train_step(
     lr_scale_min = float(lr_scale_bounds[0])
     lr_scale_max = float(lr_scale_bounds[1])
     has_dropout_like = True  # all models accept a dropout rng
+
+    # ---- knowledge distillation (beyond reference: its README todo #5) ----
+    # teacher = (model, params, batch_stats) runs an eval-mode forward on the
+    # SAME mixed batch inside the step (stop-gradient); the soft-label KL term
+    # (Hinton KD, tau^2-scaled) blends with the base criterion by alpha.
+    distill_alpha = float(getattr(args, "distillation_alpha", 0.0) or 0.0)
+    distill_tau = float(getattr(args, "distillation_tau", 1.0) or 1.0)
+    distill = teacher is not None and distill_alpha > 0.0
+
+    def _teacher_logits(images):
+        t_model, t_params, t_stats = teacher
+        variables = {"params": t_params}
+        if t_stats:
+            variables["batch_stats"] = t_stats
+        return jax.lax.stop_gradient(
+            t_model.apply(variables, images, train=False).astype(jnp.float32)
+        )
 
     def loss_fn(params, batch_stats, images, targets, dropout_rng):
         variables = {"params": params}
@@ -116,6 +134,17 @@ def build_train_step(
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), targets
             ).mean()
+        if distill:
+            s = logits.astype(jnp.float32) / distill_tau
+            t = _teacher_logits(images) / distill_tau
+            kd = jnp.mean(
+                jnp.sum(
+                    jax.nn.softmax(t) * (jax.nn.log_softmax(t)
+                                         - jax.nn.log_softmax(s)),
+                    axis=-1,
+                )
+            ) * (distill_tau ** 2)
+            loss = (1.0 - distill_alpha) * loss + distill_alpha * kd
         return loss, (new_stats, logits)
 
     if getattr(args, "remat", False):

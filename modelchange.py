@@ -135,6 +135,66 @@ def dynamic_quantize_model(
     return out_path
 
 
+def prune_model(
+    pth_path: str,
+    sparsity: float = 0.5,
+    scope: str = "global",
+    out_path: str | None = None,
+) -> str:
+    """Magnitude pruning (beyond reference: its README todo #5 '剪枝').
+
+    Zeroes the smallest-magnitude weights of every matmul/conv kernel
+    (ndim>=2, >4096 elements — the same eligibility as int8 quantization).
+    scope='global' ranks magnitudes across all eligible kernels jointly
+    (layers prune unevenly, standard for one-shot pruning); 'per_kernel'
+    applies the ratio to each kernel independently. The pruned checkpoint is
+    a normal checkpoint — fine-tune it by passing it to --pretrained_path or
+    --resume. Records 'prune_sparsity' metadata and prints the achieved
+    per-kernel sparsities."""
+    if not 0.0 < sparsity < 1.0:
+        raise ValueError(f"sparsity must be in (0,1), got {sparsity}")
+    ck = load_checkpoint(pth_path)
+    flat = ck["model"]
+    eligible = {
+        k: np.asarray(v, np.float32) for k, v in flat.items()
+        if k.endswith("kernel") and np.ndim(v) >= 2 and np.size(v) > 4096
+    }
+    if not eligible:
+        raise ValueError("no prunable kernels found")
+
+    if scope == "global":
+        all_mags = np.concatenate([np.abs(v).ravel() for v in eligible.values()])
+        thresh = np.quantile(all_mags, sparsity)
+        thresholds = {k: thresh for k in eligible}
+    elif scope == "per_kernel":
+        thresholds = {
+            k: np.quantile(np.abs(v), sparsity) for k, v in eligible.items()
+        }
+    else:
+        raise ValueError(f"unknown scope {scope!r}")
+
+    pruned = dict(flat)
+    total = kept = 0
+    for k, v in eligible.items():
+        mask = np.abs(v) > thresholds[k]
+        pruned[k] = (v * mask).astype(np.asarray(flat[k]).dtype)
+        total += mask.size
+        kept += int(mask.sum())
+        print(f"  {k}: {1.0 - mask.mean():.3f} sparse")
+    ck["model"] = pruned
+    ck["prune_sparsity"] = 1.0 - kept / total
+    ck.pop("optimizer", None)  # stale optimizer moments would undo the zeros
+    ck.pop("step", None)
+    out_path = out_path or _derive_out(pth_path, f"-pruned{sparsity:g}.pth")
+    with open(out_path, "wb") as f:
+        pickle.dump(ck, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print(
+        f"wrote {out_path} (achieved sparsity "
+        f"{ck['prune_sparsity']:.3f} over {len(eligible)} kernels)"
+    )
+    return out_path
+
+
 def _export_model(pth_path: str, model_ema: bool, platforms=None):
     from jax import export as jexport
 
@@ -221,9 +281,12 @@ if __name__ == "__main__":
     p.add_argument(
         "--mode",
         default="stablehlo",
-        choices=["ema2model", "quantize", "stablehlo", "aot"],
+        choices=["ema2model", "quantize", "prune", "stablehlo", "aot"],
     )
     p.add_argument("--dtype", default="int8")
+    p.add_argument("--sparsity", default=0.5, type=float)
+    p.add_argument("--prune_scope", default="global",
+                   choices=["global", "per_kernel"])
     p.add_argument("--model_ema", default=False, action="store_true")
     p.add_argument("--out", default=None)
     a = p.parse_args()
@@ -231,6 +294,8 @@ if __name__ == "__main__":
         convert_model_ema_to_model(a.ckpt, a.out)
     elif a.mode == "quantize":
         dynamic_quantize_model(a.ckpt, a.dtype, a.out)
+    elif a.mode == "prune":
+        prune_model(a.ckpt, a.sparsity, a.prune_scope, a.out)
     elif a.mode == "aot":
         pth2aot(a.ckpt, a.out, a.model_ema)
     else:

@@ -218,12 +218,33 @@ def main(args: TrainConfig):
     # place on mesh: params replicated (or FSDP/ZeRO sharded), rest follows
     state = parallel.shard_params(mesh, state, fsdp=args.fsdp)
 
+    teacher = None
+    if args.teacher_path and args.distillation_alpha > 0:
+        # teacher rebuilt from its checkpoint's own model_spec (same UX as
+        # val.py); eval-mode forward runs inside the jit step, stop-gradient
+        from val import initialize_model as init_teacher
+
+        t_model, t_params, t_stats, t_nc = init_teacher(
+            args.teacher_path, model_ema=False,
+            half_precision=(args.use_amp or args.half_precision),
+        )
+        if t_nc != num_classes:
+            raise ValueError(
+                f"teacher has {t_nc} classes, dataset has {num_classes}"
+            )
+        teacher = (t_model, t_params, t_stats)
+        print(
+            f"Distillation: teacher={args.teacher_path} "
+            f"alpha={args.distillation_alpha} tau={args.distillation_tau}"
+        )
+
     train_step = jax.jit(
         build_train_step(
             model, tx, args, num_classes, mixup_cfg,
             lr_schedule_values, wd_schedule_values,
             ema_decay=args.model_ema_decay,
             lr_scale_bounds=tuple(lr_scale_bounds),
+            teacher=teacher,
         ),
         donate_argnums=(0,),
     )
