@@ -239,6 +239,30 @@ def load_params_with_pruning(
     return _unflatten_like(params, kept), missing_nums
 
 
+def derive_prune_masks(params) -> Tuple[Any, float]:
+    """Capture the zero pattern of pruned kernels for --prune_mask sparse
+    fine-tuning. Eligibility mirrors modelchange.prune_model (flat key ends
+    with 'kernel', ndim>=2, >4096 elements); every other leaf maps to a
+    scalar True so the in-step mask apply folds to a no-op for it.
+    Returns (mask_pytree, sparsity_over_eligible)."""
+    host = jax.device_get(params)  # one transfer for the whole tree
+    paths, treedef = jax.tree_util.tree_flatten_with_path(host)
+    masks, total, kept = [], 0, 0
+    for path, leaf in paths:
+        key = "/".join(_key_str(p) for p in path)
+        arr = np.asarray(leaf)
+        if key.endswith("kernel") and arr.ndim >= 2 and arr.size > 4096:
+            m = arr != 0
+            masks.append(m)
+            total += m.size
+            kept += int(m.sum())
+        else:
+            masks.append(True)
+    tree = jax.tree_util.tree_unflatten(treedef, masks)
+    sparsity = 0.0 if total == 0 else 1.0 - kept / total
+    return tree, sparsity
+
+
 def find_latest_checkpoint(output_dir: str) -> Optional[str]:
     """Max numeric epoch among checkpoint-*.pth (reference utils.py:563-573)."""
     wait_for_pending_saves()

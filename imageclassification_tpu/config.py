@@ -133,6 +133,11 @@ class TrainConfig:
     teacher_path: str = ""
     distillation_alpha: float = 0.0
     distillation_tau: float = 1.0
+    # prune_mask: sparse fine-tune for modelchange.py --mode prune outputs —
+    # captures the loaded weights' zero pattern (prune_model's kernel
+    # eligibility) and re-applies it after every optimizer update, so the
+    # pruned sparsity survives fine-tuning instead of densifying
+    prune_mask: bool = False
 
     # ---- runtime state injected at startup (reference utils.py:339-366) ----
     rank: int = 0

@@ -74,6 +74,7 @@ def build_train_step(
     ema_decay: float = 0.9995,
     lr_scale_bounds=(1.0, 1.0),
     teacher=None,
+    prune_masks=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -249,6 +250,15 @@ def build_train_step(
             else:
                 updates, new_opt = tx.update(accum, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            if prune_masks is not None:
+                # sparse fine-tune (--prune_mask): re-zero pruned weights
+                # after the update, BEFORE the EMA sees them. Ineligible
+                # leaves carry a scalar True mask, which XLA folds away;
+                # eligible leaves get a fused elementwise select.
+                new_params = jax.tree.map(
+                    lambda p, m: jnp.where(m, p, jnp.zeros_like(p)),
+                    new_params, prune_masks,
+                )
             if use_ema:
                 # timm ModelEmaV3 EMAs the full state_dict — params AND BN
                 # running statistics (train.py:201 + timm semantics)

@@ -196,3 +196,94 @@ def test_prune_rejects_bad_sparsity(small_ckpt):
 
     with pytest.raises(ValueError):
         prune_model(small_ckpt, sparsity=1.5)
+
+
+def test_prune_mask_sparse_finetune(small_ckpt):
+    """--prune_mask: the zero pattern of a pruned checkpoint must survive
+    optimizer updates (including SGD momentum), while unmasked weights and
+    the EMA keep training."""
+    from modelchange import prune_model
+    from val import initialize_model
+
+    from imageclassification_tpu.checkpoint.io import derive_prune_masks
+    from imageclassification_tpu.engine.state import create_train_state
+
+    out = prune_model(small_ckpt, sparsity=0.5, scope="per_kernel")
+    model, params, batch_stats, _ = initialize_model(
+        out, model_ema=False, half_precision=False
+    )
+    masks, sparsity = derive_prune_masks(params)
+    assert 0.3 < sparsity < 0.6, sparsity
+
+    tx = create_optimizer("momentum", 0.1, 0.0)
+    state = create_train_state(
+        model, tx, jax.random.key(0), (1, 16, 16, 3), use_ema=True
+    )
+    state = state.replace(params=params)
+    if batch_stats:
+        state = state.replace(batch_stats=batch_stats)
+    # train.py reseeds the EMA from the loaded weights (timm ModelEmaV3
+    # copies AFTER pretrained load); mirror that here
+    state = state.replace(ema_params=jax.tree.map(jnp.copy, state.params))
+
+    lr_s = np.full(8, 0.1, np.float32)
+    wd_s = np.zeros(8, np.float32)
+    cfg = _cfg(lr=0.1, model_ema=True, prune_mask=True)
+    step = jax.jit(build_train_step(
+        model, tx, cfg, 3, None, lr_s, wd_s, prune_masks=masks,
+    ))
+    batch = _batch()
+    for i in range(4):
+        state, m = step(state, batch, jax.random.key(i))
+    assert np.isfinite(float(m["loss"]))
+
+    def flat(tree):
+        return {
+            "/".join(
+                str(getattr(p, a))
+                for p in path for a in ("key", "idx", "name") if hasattr(p, a)
+            ): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                jax.device_get(tree)
+            )[0]
+        }
+
+    f0, f1, fe = flat(params), flat(state.params), flat(state.ema_params)
+    moved = False
+    for k, v0 in f0.items():
+        v1 = f1[k]
+        if k.endswith("kernel") and v0.ndim >= 2 and v0.size > 4096:
+            zero = v0 == 0
+            # masked entries stay exactly zero after 4 momentum updates,
+            # in the live params AND the EMA shadow
+            assert np.all(v1[zero] == 0), k
+            assert np.all(fe[k][zero] == 0), k
+            if np.any(v1[~zero] != v0[~zero]):
+                moved = True
+    assert moved  # unmasked weights actually trained
+
+
+def test_prune_mask_without_masks_is_identity():
+    """prune_masks=None (default) must leave the step byte-identical."""
+    model = create_model("resnet18", num_classes=3)
+    batch = _batch()
+    lr_s = np.full(8, 0.5, np.float32)
+    wd_s = np.zeros(8, np.float32)
+    outs = []
+    for masks in (None, jax.tree.map(lambda p: True, create_train_state(
+            model, create_optimizer("sgd", 0.5, 0.0),
+            jax.random.key(0), (1, 16, 16, 3)).params)):
+        tx, state = _mk_state(model, seed=0)
+        step = jax.jit(build_train_step(
+            model, tx, _cfg(), 3, None, lr_s, wd_s, prune_masks=masks,
+        ))
+        state, m = step(state, batch, jax.random.key(1))
+        outs.append(flatsum(state.params))
+    assert outs[0] == outs[1]
+
+
+def flatsum(tree):
+    return float(sum(
+        jnp.sum(jnp.abs(l.astype(jnp.float32)))
+        for l in jax.tree_util.tree_leaves(tree)
+    ))

@@ -122,6 +122,44 @@ def test_end_to_end_update_freq(toy_dataset, tmp_path):
 
 
 @pytest.mark.slow
+def test_pretrained_ema_reseed_and_prune_mask_finetune(toy_dataset, tmp_path):
+    """(a) --pretrained_path + --model_ema: the EMA shadow must start from
+    the LOADED weights, not the random init (timm ModelEmaV3 copies after
+    load); (b) --prune_mask: a pruned checkpoint fine-tuned through the real
+    CLI keeps its sparsity in the saved artifacts."""
+    import pickle
+
+    import train as train_cli
+
+    cfg = _base_cfg(toy_dataset, tmp_path / "src")
+    train_cli.main(cfg)
+    src = tmp_path / "src" / "output" / "checkpoint-best.pth"
+
+    from modelchange import prune_model
+
+    pruned = prune_model(str(src), sparsity=0.5, scope="per_kernel")
+
+    cfg2 = _base_cfg(
+        toy_dataset, tmp_path / "ft", epochs=1, model_ema=True,
+        pretrained=True, pretrained_path=pruned, prune_mask=True,
+        auto_resume=False,
+    )
+    train_cli.main(cfg2)
+    with open(tmp_path / "ft" / "output" / "checkpoint-0.pth", "rb") as f:
+        ck = pickle.load(f)
+    with open(pruned, "rb") as f:
+        src_ck = pickle.load(f)
+    for k, v in ck["model"].items():
+        if k.endswith("kernel") and v.ndim >= 2 and v.size > 4096:
+            src_zero = src_ck["model"][k] == 0
+            # (b) the pruned zero pattern survived an epoch of fine-tuning
+            assert np.all(v[src_zero] == 0), k
+            # (a) the saved EMA kept the same zeros — it was seeded from the
+            # loaded (pruned) weights, so masked entries never left zero
+            assert np.all(ck["model_ema"][k][src_zero] == 0), k
+
+
+@pytest.mark.slow
 def test_preemption_signal_checkpoints_and_resumes(
     toy_dataset, tmp_path, capsys, monkeypatch
 ):

@@ -194,6 +194,18 @@ def main(args: TrainConfig):
                 state.batch_stats, ck["batch_stats"], verbose=False
             )
             state = state.replace(batch_stats=new_stats)
+        if state.ema_params is not None:
+            # timm ModelEmaV3 deep-copies the model AFTER pretrained weights
+            # are loaded — reseed the EMA so it tracks the fine-tune start
+            # point, not the random init (real copy: aliasing would break
+            # train-state donation)
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params)
+            )
+            if state.ema_batch_stats is not None:
+                state = state.replace(
+                    ema_batch_stats=jax.tree.map(jnp.copy, state.batch_stats)
+                )
         print(f"Loaded pretrained weights from {args.pretrained_path}")
     elif (args.pretrained and not args.pretrained_path and not args.resume
           and not (args.auto_resume
@@ -214,6 +226,15 @@ def main(args: TrainConfig):
         )
 
     state, _ = ckpt_io.auto_load_model(args, state)
+
+    prune_masks = None
+    if args.prune_mask:
+        # sparse fine-tune: freeze the loaded checkpoint's zero pattern (from
+        # modelchange.py --mode prune) — weights are re-masked after every
+        # optimizer update so sparsity survives fine-tuning
+        prune_masks, mask_sparsity = ckpt_io.derive_prune_masks(state.params)
+        print(f"Prune-mask fine-tune: enforcing {mask_sparsity:.3f} sparsity "
+              "zero pattern through training")
 
     # place on mesh: params replicated (or FSDP/ZeRO sharded), rest follows
     state = parallel.shard_params(mesh, state, fsdp=args.fsdp)
@@ -245,6 +266,7 @@ def main(args: TrainConfig):
             ema_decay=args.model_ema_decay,
             lr_scale_bounds=tuple(lr_scale_bounds),
             teacher=teacher,
+            prune_masks=prune_masks,
         ),
         donate_argnums=(0,),
     )
