@@ -39,7 +39,8 @@ from imageclassification_tpu.models import create_model
 
 
 def initialize_model(model_weight_path: str, model_ema: bool,
-                     half_precision=True, return_checkpoint=False):
+                     half_precision=True, return_checkpoint=False,
+                     dequantize=False):
     """Rebuild (model, params, batch_stats, num_classes) from a checkpoint.
     With return_checkpoint=True the last element is the loaded checkpoint
     dict instead of num_classes (saves export callers a second unpickle).
@@ -47,11 +48,13 @@ def initialize_model(model_weight_path: str, model_ema: bool,
     int8 checkpoints (modelchange.dynamic_quantize_model) keep their Dense
     kernels QUANTIZED — the forward then runs real int8 matmuls (reference
     quantize_dynamic parity, modelchange.py:7-20). The active scales are
-    exposed as checkpoint['quant_exec_scales'] and honored by _predict_fn."""
+    exposed as checkpoint['quant_exec_scales'] and honored by _predict_fn.
+    dequantize=True restores fp32 kernels instead — for callers that need
+    differentiable float weights (visualize.py Grad-CAM)."""
     from imageclassification_tpu.ops.int8 import split_executable_quant
 
-    checkpoint = load_checkpoint(model_weight_path, dequantize=False)
-    qscales = split_executable_quant(checkpoint)
+    checkpoint = load_checkpoint(model_weight_path, dequantize=dequantize)
+    qscales = {} if dequantize else split_executable_quant(checkpoint)
     checkpoint["quant_exec_scales"] = qscales
     num_classes = checkpoint["num_classes"]
     spec = checkpoint["model_spec"]
