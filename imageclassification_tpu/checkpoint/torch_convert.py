@@ -350,6 +350,65 @@ def convert_efficientvit(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
     return params, stats
 
 
+# --------------------------------------------------------------- MobileNetV3
+
+
+def convert_mobilenetv3(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    """torchvision mobilenet_v3_{large,small} state_dict → repo layout.
+
+    Source naming (torchvision/models/mobilenetv3.py):
+      features.0.{0,1}                 stem Conv2dNormActivation
+      features.{i}.block.{j}.{0,1}     expand? / depthwise / project convs
+      features.{i}.block.{j}.fc{1,2}   SqueezeExcitation 1x1 convs (w/ bias)
+      features.{last}.{0,1}            final 1x1 Conv2dNormActivation
+      classifier.{0,3}                 Linear / Linear
+    The block sub-index j shifts by whether the expand conv and SE exist, so
+    the walk mirrors torchvision's layer-append order."""
+    from ..models.mobilenetv3 import _LARGE, _SMALL
+
+    cfgs = _SMALL if "small" in model_name else _LARGE
+    params: Flat = {}
+    stats: Flat = {}
+
+    def bn(dst: str, src: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+        stats[f"{dst}/mean"] = sd[f"{src}.running_mean"]
+        stats[f"{dst}/var"] = sd[f"{src}.running_var"]
+
+    params["stem_conv/kernel"] = _conv(sd["features.0.0.weight"])
+    bn("stem_bn", "features.0.1")
+
+    for i, c in enumerate(cfgs):
+        dst = f"block_{i}"
+        src = f"features.{i + 1}.block"
+        j = 0
+        if c.expanded != c.in_ch:
+            params[f"{dst}/expand_conv/kernel"] = _conv(sd[f"{src}.{j}.0.weight"])
+            bn(f"{dst}/expand_bn", f"{src}.{j}.1")
+            j += 1
+        params[f"{dst}/dw_conv/kernel"] = _conv(sd[f"{src}.{j}.0.weight"])
+        bn(f"{dst}/dw_bn", f"{src}.{j}.1")
+        j += 1
+        if c.use_se:
+            for fc in ("fc1", "fc2"):
+                w = sd[f"{src}.{j}.{fc}.weight"]  # [out, in, 1, 1] 1x1 conv
+                params[f"{dst}/se_{fc}/kernel"] = _t(w[:, :, 0, 0])
+                params[f"{dst}/se_{fc}/bias"] = sd[f"{src}.{j}.{fc}.bias"]
+            j += 1
+        params[f"{dst}/project_conv/kernel"] = _conv(sd[f"{src}.{j}.0.weight"])
+        bn(f"{dst}/project_bn", f"{src}.{j}.1")
+
+    last = len(cfgs) + 1
+    params["conv_last/kernel"] = _conv(sd[f"features.{last}.0.weight"])
+    bn("bn_last", f"features.{last}.1")
+    params["pre_head/kernel"] = _t(sd["classifier.0.weight"])
+    params["pre_head/bias"] = sd["classifier.0.bias"]
+    params["head/kernel"] = _t(sd["classifier.3.weight"])
+    params["head/bias"] = sd["classifier.3.bias"]
+    return params, stats
+
+
 # ------------------------------------------------------------------- dispatch
 
 
@@ -371,9 +430,11 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
         return convert_vit(sd, model_name)
     if model_name.startswith("efficientvit"):
         return convert_efficientvit(sd, model_name)
+    if model_name.startswith(("mobilenetv3", "mobilenet_v3")):
+        return convert_mobilenetv3(sd, model_name)
     raise ValueError(
         f"no torch converter for model family of {model_name!r} "
-        "(supported: resnet*, convnext*, vit*, efficientvit*)"
+        "(supported: resnet*, convnext*, vit*, efficientvit*, mobilenetv3*)"
     )
 
 

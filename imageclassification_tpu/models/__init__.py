@@ -8,7 +8,7 @@ from typing import Any, Callable, Dict
 
 import jax.numpy as jnp
 
-from . import convnext, efficientvit, resnet, vit
+from . import convnext, efficientvit, mobilenetv3, resnet, vit
 
 _REGISTRY: Dict[str, Callable] = {}
 
@@ -40,6 +40,9 @@ for _n in ("vit_tiny_patch16", "vit_small_patch16", "vit_small_patch32",
 for _n in ("efficientvit_m0", "efficientvit_m1", "efficientvit_m2",
            "efficientvit_m3", "efficientvit_m4", "efficientvit_m5"):
     register(_n, getattr(efficientvit, _n))
+for _n in ("mobilenetv3_large_100", "mobilenetv3_small_100",
+           "mobilenet_v3_large", "mobilenet_v3_small"):
+    register(_n, getattr(mobilenetv3, _n))
 
 
 def create_model(

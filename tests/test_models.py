@@ -29,6 +29,7 @@ def _init_and_forward(model, x, train=False):
         ("convnext_atto", 64),
         ("vit_tiny_patch16", 32),
         ("efficientvit_m0", 64),
+        ("mobilenet_v3_small", 64),
     ],
 )
 def test_forward_shapes(name, size):
@@ -74,6 +75,16 @@ def test_efficientvit_m0_param_count():
     n = _param_count(model, (1, 224, 224, 3))
     # MSRA EfficientViT-M0 is ~2.3M params
     assert 1.8e6 < n < 3.2e6, f"param count {n}"
+
+
+def test_param_count_mobilenetv3():
+    # torchvision: mobilenet_v3_large 5.483M, mobilenet_v3_small 2.543M
+    n = _param_count(create_model("mobilenet_v3_large", num_classes=1000),
+                     (1, 64, 64, 3))
+    assert abs(n - 5_483_032) / 5_483_032 < 0.01, n
+    n = _param_count(create_model("mobilenet_v3_small", num_classes=1000),
+                     (1, 64, 64, 3))
+    assert abs(n - 2_542_856) / 2_542_856 < 0.01, n
 
 
 def test_kwarg_routing():

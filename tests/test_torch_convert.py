@@ -696,3 +696,98 @@ def test_convnextv2_torch_parity():
     got = _flax_logits("convnextv2_atto", net.state_dict(), x.numpy(),
                        num_classes=5)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------- torchvision MobileNetV3 -----
+# mirrors torchvision/models/mobilenetv3.py module naming exactly:
+# features.{i}.block.{j}.{0,1} Conv2dNormActivation, SE fc1/fc2 1x1 convs,
+# classifier.{0,3} Linears
+
+
+class _TVSqueezeExcitation(tnn.Module):
+    def __init__(self, in_ch, squeeze):
+        super().__init__()
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+        self.fc1 = tnn.Conv2d(in_ch, squeeze, 1)
+        self.fc2 = tnn.Conv2d(squeeze, in_ch, 1)
+
+    def forward(self, x):
+        s = torch.relu(self.fc1(self.avgpool(x)))
+        return x * torch.nn.functional.hardsigmoid(self.fc2(s))
+
+
+def _tv_cna(cin, cout, k, stride, groups=1, act="hs"):
+    pad = (k - 1) // 2
+    layers = [
+        tnn.Conv2d(cin, cout, k, stride, pad, groups=groups, bias=False),
+        tnn.BatchNorm2d(cout, eps=0.001),
+    ]
+    if act == "hs":
+        layers.append(tnn.Hardswish())
+    elif act == "re":
+        layers.append(tnn.ReLU())
+    return tnn.Sequential(*layers)
+
+
+class _TVInvertedResidual(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        act = "hs" if cfg.use_hs else "re"
+        layers = []
+        if cfg.expanded != cfg.in_ch:
+            layers.append(_tv_cna(cfg.in_ch, cfg.expanded, 1, 1, act=act))
+        layers.append(_tv_cna(cfg.expanded, cfg.expanded, cfg.kernel,
+                              cfg.stride, groups=cfg.expanded, act=act))
+        if cfg.use_se:
+            from imageclassification_tpu.models.mobilenetv3 import (
+                _make_divisible,
+            )
+
+            layers.append(
+                _TVSqueezeExcitation(cfg.expanded,
+                                     _make_divisible(cfg.expanded // 4))
+            )
+        layers.append(_tv_cna(cfg.expanded, cfg.out_ch, 1, 1, act="none"))
+        self.block = tnn.Sequential(*layers)
+        self.use_res = cfg.stride == 1 and cfg.in_ch == cfg.out_ch
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+class _TVMobileNetV3(tnn.Module):
+    def __init__(self, cfgs, last_channel, num_classes):
+        super().__init__()
+        feats = [_tv_cna(3, 16, 3, 2, act="hs")]
+        feats += [_TVInvertedResidual(c) for c in cfgs]
+        last_conv = 6 * cfgs[-1].out_ch
+        feats.append(_tv_cna(cfgs[-1].out_ch, last_conv, 1, 1, act="hs"))
+        self.features = tnn.Sequential(*feats)
+        self.classifier = tnn.Sequential(
+            tnn.Linear(last_conv, last_channel),
+            tnn.Hardswish(),
+            tnn.Dropout(0.2),
+            tnn.Linear(last_channel, num_classes),
+        )
+
+    def forward(self, x):
+        x = self.features(x).mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+@pytest.mark.parametrize("name", ["mobilenet_v3_small", "mobilenet_v3_large"])
+def test_mobilenetv3_torch_parity(name):
+    from imageclassification_tpu.models.mobilenetv3 import _LARGE, _SMALL
+
+    cfgs, last_channel = (
+        (_SMALL, 1024) if "small" in name else (_LARGE, 1280)
+    )
+    torch.manual_seed(11)
+    net = _TVMobileNetV3(cfgs, last_channel, num_classes=6).eval()
+    _randomize_bn(net)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    got = _flax_logits(name, net.state_dict(), x.numpy(), num_classes=6)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
