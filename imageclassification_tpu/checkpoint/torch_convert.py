@@ -409,6 +409,74 @@ def convert_mobilenetv3(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
     return params, stats
 
 
+# -------------------------------------------------------------- EfficientNet
+
+
+def convert_efficientnet(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    """timm efficientnet_b{0..4} state_dict → repo layout.
+
+    Source naming (timm/models/efficientnet.py, non-TF variants):
+      conv_stem / bn1                        stem
+      blocks.{s}.{j}.conv_dw/bn1, se.conv_reduce/conv_expand, conv_pw/bn2
+                                             stage-0 DepthwiseSeparableConv
+      blocks.{s}.{j}.conv_pw/bn1, conv_dw/bn2, se.*, conv_pwl/bn3
+                                             InvertedResidual (expand>1)
+      conv_head / bn2 (top level)            pre-pool 1x1
+      classifier                             Linear head
+    The repo flattens stages into sequential block_{i} modules, so the walk
+    recomputes the per-variant repeat counts."""
+    import math
+
+    from ..models.efficientnet import _B0_STAGES, _VARIANTS
+
+    _, depth_mult = _VARIANTS[model_name]
+    params: Flat = {}
+    stats: Flat = {}
+
+    def bn(dst: str, src: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+        stats[f"{dst}/mean"] = sd[f"{src}.running_mean"]
+        stats[f"{dst}/var"] = sd[f"{src}.running_var"]
+
+    def se(dst: str, src: str) -> None:
+        for t_name, f_name in (("conv_reduce", "se_reduce"),
+                               ("conv_expand", "se_expand")):
+            w = sd[f"{src}.se.{t_name}.weight"]  # [out, in, 1, 1] 1x1 conv
+            params[f"{dst}/{f_name}/kernel"] = _t(w[:, :, 0, 0])
+            params[f"{dst}/{f_name}/bias"] = sd[f"{src}.se.{t_name}.bias"]
+
+    params["conv_stem/kernel"] = _conv(sd["conv_stem.weight"])
+    bn("bn_stem", "bn1")
+
+    i = 0
+    for s, (k, _, e, c, r) in enumerate(_B0_STAGES):
+        for j in range(int(math.ceil(r * depth_mult))):
+            dst = f"block_{i}"
+            src = f"blocks.{s}.{j}"
+            if e == 1:  # DepthwiseSeparableConv: dw/bn1, se, pw/bn2
+                params[f"{dst}/conv_dw/kernel"] = _conv(sd[f"{src}.conv_dw.weight"])
+                bn(f"{dst}/bn_dw", f"{src}.bn1")
+                se(dst, src)
+                params[f"{dst}/conv_pwl/kernel"] = _conv(sd[f"{src}.conv_pw.weight"])
+                bn(f"{dst}/bn_pwl", f"{src}.bn2")
+            else:       # InvertedResidual: pw/bn1, dw/bn2, se, pwl/bn3
+                params[f"{dst}/conv_pw/kernel"] = _conv(sd[f"{src}.conv_pw.weight"])
+                bn(f"{dst}/bn_pw", f"{src}.bn1")
+                params[f"{dst}/conv_dw/kernel"] = _conv(sd[f"{src}.conv_dw.weight"])
+                bn(f"{dst}/bn_dw", f"{src}.bn2")
+                se(dst, src)
+                params[f"{dst}/conv_pwl/kernel"] = _conv(sd[f"{src}.conv_pwl.weight"])
+                bn(f"{dst}/bn_pwl", f"{src}.bn3")
+            i += 1
+
+    params["conv_head/kernel"] = _conv(sd["conv_head.weight"])
+    bn("bn_head", "bn2")
+    params["head/kernel"] = _t(sd["classifier.weight"])
+    params["head/bias"] = sd["classifier.bias"]
+    return params, stats
+
+
 # ------------------------------------------------------------------- dispatch
 
 
@@ -432,9 +500,12 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
         return convert_efficientvit(sd, model_name)
     if model_name.startswith(("mobilenetv3", "mobilenet_v3")):
         return convert_mobilenetv3(sd, model_name)
+    if model_name.startswith("efficientnet"):
+        return convert_efficientnet(sd, model_name)
     raise ValueError(
         f"no torch converter for model family of {model_name!r} "
-        "(supported: resnet*, convnext*, vit*, efficientvit*, mobilenetv3*)"
+        "(supported: resnet*, convnext*, vit*, efficientvit*, mobilenetv3*, "
+        "efficientnet_b*)"
     )
 
 

@@ -8,7 +8,7 @@ from typing import Any, Callable, Dict
 
 import jax.numpy as jnp
 
-from . import convnext, efficientvit, mobilenetv3, resnet, vit
+from . import convnext, efficientnet, efficientvit, mobilenetv3, resnet, vit
 
 _REGISTRY: Dict[str, Callable] = {}
 
@@ -43,6 +43,9 @@ for _n in ("efficientvit_m0", "efficientvit_m1", "efficientvit_m2",
 for _n in ("mobilenetv3_large_100", "mobilenetv3_small_100",
            "mobilenet_v3_large", "mobilenet_v3_small"):
     register(_n, getattr(mobilenetv3, _n))
+for _n in ("efficientnet_b0", "efficientnet_b1", "efficientnet_b2",
+           "efficientnet_b3", "efficientnet_b4"):
+    register(_n, getattr(efficientnet, _n))
 
 
 def create_model(

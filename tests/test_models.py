@@ -30,6 +30,7 @@ def _init_and_forward(model, x, train=False):
         ("vit_tiny_patch16", 32),
         ("efficientvit_m0", 64),
         ("mobilenet_v3_small", 64),
+        ("efficientnet_b0", 64),
     ],
 )
 def test_forward_shapes(name, size):
@@ -85,6 +86,16 @@ def test_param_count_mobilenetv3():
     n = _param_count(create_model("mobilenet_v3_small", num_classes=1000),
                      (1, 64, 64, 3))
     assert abs(n - 2_542_856) / 2_542_856 < 0.01, n
+
+
+def test_param_count_efficientnet():
+    # timm: b0 5,288,548 / b3 12,233,232 exactly (compound scaling check)
+    n = _param_count(create_model("efficientnet_b0", num_classes=1000),
+                     (1, 64, 64, 3))
+    assert n == 5_288_548, n
+    n = _param_count(create_model("efficientnet_b3", num_classes=1000),
+                     (1, 64, 64, 3))
+    assert n == 12_233_232, n
 
 
 def test_kwarg_routing():

@@ -791,3 +791,113 @@ def test_mobilenetv3_torch_parity(name):
         ref = net(x).numpy()
     got = _flax_logits(name, net.state_dict(), x.numpy(), num_classes=6)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------- timm EfficientNet -------
+# mirrors timm/models/efficientnet.py module naming exactly: conv_stem/bn1,
+# blocks.{s}.{j}.conv_pw/bn1 conv_dw/bn2 se.conv_reduce/conv_expand
+# conv_pwl/bn3 (stage 0: conv_dw/bn1 se conv_pw/bn2), conv_head/bn2,
+# classifier
+
+
+class _TimmSE(tnn.Module):
+    def __init__(self, mid, rd):
+        super().__init__()
+        self.conv_reduce = tnn.Conv2d(mid, rd, 1)
+        self.conv_expand = tnn.Conv2d(rd, mid, 1)
+
+    def forward(self, x):
+        s = x.mean(dim=(2, 3), keepdim=True)
+        s = tnn.functional.silu(self.conv_reduce(s))
+        return x * torch.sigmoid(self.conv_expand(s))
+
+
+class _TimmDSConv(tnn.Module):
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        self.conv_dw = tnn.Conv2d(cin, cin, k, stride, (k - 1) // 2,
+                                  groups=cin, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cin)
+        self.se = _TimmSE(cin, max(1, int(cin * 0.25)))
+        self.conv_pw = tnn.Conv2d(cin, cout, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.has_res = stride == 1 and cin == cout
+
+    def forward(self, x):
+        y = tnn.functional.silu(self.bn1(self.conv_dw(x)))
+        y = self.bn2(self.conv_pw(self.se(y)))
+        return x + y if self.has_res else y
+
+
+class _TimmIR(tnn.Module):
+    def __init__(self, cin, cout, k, stride, expand):
+        super().__init__()
+        mid = cin * expand
+        self.conv_pw = tnn.Conv2d(cin, mid, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(mid)
+        self.conv_dw = tnn.Conv2d(mid, mid, k, stride, (k - 1) // 2,
+                                  groups=mid, bias=False)
+        self.bn2 = tnn.BatchNorm2d(mid)
+        self.se = _TimmSE(mid, max(1, int(cin * 0.25)))
+        self.conv_pwl = tnn.Conv2d(mid, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.has_res = stride == 1 and cin == cout
+
+    def forward(self, x):
+        y = tnn.functional.silu(self.bn1(self.conv_pw(x)))
+        y = tnn.functional.silu(self.bn2(self.conv_dw(y)))
+        y = self.bn3(self.conv_pwl(self.se(y)))
+        return x + y if self.has_res else y
+
+
+class _TimmEfficientNet(tnn.Module):
+    def __init__(self, name, num_classes):
+        super().__init__()
+        import math as _math
+
+        from imageclassification_tpu.models.efficientnet import (
+            _B0_STAGES,
+            _VARIANTS,
+            round_channels,
+        )
+
+        w, d = _VARIANTS[name]
+        stem = round_channels(32 * w)
+        self.conv_stem = tnn.Conv2d(3, stem, 3, 2, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(stem)
+        cin = stem
+        stages = []
+        for k, s, e, c, r in _B0_STAGES:
+            cout = round_channels(c * w)
+            blocks = []
+            for j in range(int(_math.ceil(r * d))):
+                stride = s if j == 0 else 1
+                if e == 1:
+                    blocks.append(_TimmDSConv(cin, cout, k, stride))
+                else:
+                    blocks.append(_TimmIR(cin, cout, k, stride, e))
+                cin = cout
+            stages.append(tnn.Sequential(*blocks))
+        self.blocks = tnn.Sequential(*stages)
+        head = round_channels(1280 * w) if w > 1.0 else 1280
+        self.conv_head = tnn.Conv2d(cin, head, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(head)
+        self.classifier = tnn.Linear(head, num_classes)
+
+    def forward(self, x):
+        x = tnn.functional.silu(self.bn1(self.conv_stem(x)))
+        x = self.blocks(x)
+        x = tnn.functional.silu(self.bn2(self.conv_head(x)))
+        return self.classifier(x.mean(dim=(2, 3)))
+
+
+@pytest.mark.parametrize("name", ["efficientnet_b0", "efficientnet_b2"])
+def test_efficientnet_torch_parity(name):
+    torch.manual_seed(13)
+    net = _TimmEfficientNet(name, num_classes=6).eval()
+    _randomize_bn(net)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    got = _flax_logits(name, net.state_dict(), x.numpy(), num_classes=6)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
