@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -75,6 +76,84 @@ def flash_attention_fn(query, key, value, bias=None, mask=None, **kwargs):
     return jnp.moveaxis(out, 2, 1)[:, :N]
 
 
+class _HeadProj(nn.Module):
+    """q/k/v projection emitting [B, H, N, head_dim] directly. Param tree
+    (kernel [D,H,hd], bias [H,hd]) matches flax DenseGeneral, so checkpoints
+    and the torch converter are unaffected."""
+
+    heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kern = self.param("kernel", truncated_normal_init(),
+                          (x.shape[-1], self.heads, self.head_dim))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.heads, self.head_dim))
+        y = jnp.einsum("bnd,dhk->bhnk", x.astype(self.dtype),
+                       kern.astype(self.dtype))
+        return y + bias.astype(self.dtype)[None, :, None, :]
+
+
+class _OutProj(nn.Module):
+    """[B, H, N, head_dim] -> [B, N, D]; params match flax MHA 'out'."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        kern = self.param("kernel", truncated_normal_init(),
+                          (y.shape[1], y.shape[3], self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        out = jnp.einsum("bhnk,hkd->bnd", y, kern.astype(self.dtype))
+        return out + bias.astype(self.dtype)
+
+
+class HeadMajorAttention(nn.Module):
+    """Multi-head self-attention computed entirely in [B, H, N, head_dim].
+
+    Hypothesis tested: flax's MultiHeadDotProductAttention keeps activations
+    logically [B, N, H, D]; its attention einsums take (b, h) as batch dims,
+    so XLA's layout assignment inserts physical transposes around every dot
+    (HLO census: ~155 copies of the 38.7 MB head-split tensors per vit_base
+    train step ~ 6 GB/step, the 12% 'copy' band in
+    trace_ops_vit_base_patch16.json). Projecting q/k/v straight into
+    head-major order hands every dot canonical batched-matmul operands.
+
+    MEASURED VERDICT (benchmarks/attn_layout_bench.json): dead even —
+    202.44 ms/step (flax) vs 202.45 ms/step (this), bit-identical outputs.
+    The bhnd HLO still carries 298 copies, merely moved to other shapes
+    ([128,12,197,64] and its transpose): the projection dots want
+    token-major operands and the attention dots want head-major, so a
+    transpose divide exists in EITHER logical order and XLA already
+    schedules it at its optimum. Kept as the measured receipt (sixth
+    XLA-rewrite matchup, sixth draw-or-loss); the flax path stays the
+    default."""
+
+    num_heads: int
+    dropout_rate: float = 0.0
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        hd = D // self.num_heads
+        q = _HeadProj(self.num_heads, hd, self.dtype, name="query")(x)
+        k = _HeadProj(self.num_heads, hd, self.dtype, name="key")(x)
+        v = _HeadProj(self.num_heads, hd, self.dtype, name="value")(x)
+        w = jnp.einsum("bhnk,bhmk->bhnm", q * (hd ** -0.5), k)
+        w = jax.nn.softmax(w, axis=-1)
+        if self.dropout_rate > 0.0:
+            w = nn.Dropout(self.dropout_rate)(
+                w, deterministic=self.deterministic
+            )
+        y = jnp.einsum("bhnm,bhmk->bhnk", w, v)
+        return _OutProj(D, self.dtype, name="out")(y)
+
+
 class EncoderBlock(nn.Module):
     dim: int
     num_heads: int
@@ -82,6 +161,8 @@ class EncoderBlock(nn.Module):
     drop_rate: float = 0.0
     drop_path: float = 0.0
     flash_attn: bool = False
+    attn_impl: str = "flax"   # "flax" (MHA) | "bhnd" (head-major, measured
+    # equal — see HeadMajorAttention docstring)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,18 +171,27 @@ class EncoderBlock(nn.Module):
         # einsum attention when attention dropout is active (ViT.__call__
         # warns once per model about the conflict)
         use_flash = self.flash_attn and (self.drop_rate == 0.0 or not train)
-        attn_kwargs = {}
-        if use_flash:
-            attn_kwargs["attention_fn"] = flash_attention_fn
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            dtype=self.dtype,
-            kernel_init=truncated_normal_init(),
-            deterministic=not train,
-            dropout_rate=0.0 if use_flash else self.drop_rate,
-            **attn_kwargs,
-        )(y, y)
+        if self.attn_impl == "bhnd" and not use_flash:
+            y = HeadMajorAttention(
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                deterministic=not train,
+                dropout_rate=self.drop_rate,
+                name="MultiHeadDotProductAttention_0",  # checkpoint-stable
+            )(y)
+        else:
+            attn_kwargs = {}
+            if use_flash:
+                attn_kwargs["attention_fn"] = flash_attention_fn
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                kernel_init=truncated_normal_init(),
+                deterministic=not train,
+                dropout_rate=0.0 if use_flash else self.drop_rate,
+                **attn_kwargs,
+            )(y, y)
         x = x + DropPath(self.drop_path)(y, deterministic=not train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         y = Mlp(int(self.dim * self.mlp_ratio), drop_rate=self.drop_rate,
@@ -120,6 +210,7 @@ class ViT(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     flash_attn: bool = False
+    attn_impl: str = "flax"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +239,7 @@ class ViT(nn.Module):
             x = EncoderBlock(self.dim, self.num_heads, self.mlp_ratio,
                              drop_rate=self.drop_rate, drop_path=rates[i],
                              flash_attn=self.flash_attn,
+                             attn_impl=self.attn_impl,
                              dtype=self.dtype, name=f"block{i}")(x, train=train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = x[:, 0]
@@ -158,10 +250,14 @@ class ViT(nn.Module):
 
 def _make(patch, dim, depth, heads):
     def ctor(num_classes=1000, drop_path_rate=0.0, drop_rate=0.0,
-             dtype=jnp.float32, flash_attn=False, **kw):
+             dtype=jnp.float32, flash_attn=False, attn_impl=None, **kw):
+        import os
+        if attn_impl is None:
+            attn_impl = os.environ.get("VIT_ATTN_IMPL", "flax")
         return ViT(patch_size=patch, dim=dim, depth=depth, num_heads=heads,
                    num_classes=num_classes, drop_path_rate=drop_path_rate,
-                   drop_rate=drop_rate, flash_attn=flash_attn, dtype=dtype)
+                   drop_rate=drop_rate, flash_attn=flash_attn,
+                   attn_impl=attn_impl, dtype=dtype)
     return ctor
 
 

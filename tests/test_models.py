@@ -181,3 +181,26 @@ def test_resnext_and_wide_param_counts():
     n = _param_count(create_model("wide_resnet50_2", num_classes=1000),
                      (1, 64, 64, 3))
     assert 68.0e6 < n < 69.8e6, n
+
+
+def test_vit_headmajor_attention_equivalence():
+    """attn_impl='bhnd' (HeadMajorAttention) must be parameter-tree identical
+    and numerically equal to the flax MHA path — it is the measured layout
+    experiment (benchmarks/attn_layout_bench.json) kept behind a flag."""
+    import numpy as np
+
+    from imageclassification_tpu.models.vit import ViT
+
+    kw = dict(patch_size=16, dim=192, depth=2, num_heads=3, num_classes=5)
+    m1 = ViT(attn_impl="flax", **kw)
+    m2 = ViT(attn_impl="bhnd", **kw)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 64, 64, 3)), jnp.float32
+    )
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    v1 = m1.init(rngs, x, train=False)
+    v2 = m2.init(rngs, x, train=False)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    y1 = m1.apply(v1, x, train=False)
+    y2 = m2.apply(v1, x, train=False)  # SAME params through both paths
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
