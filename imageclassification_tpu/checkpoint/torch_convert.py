@@ -477,6 +477,69 @@ def convert_efficientnet(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
     return params, stats
 
 
+# ---------------------------------------------------------------------- Swin
+
+
+_SWIN_DEPTHS = {
+    "swin_tiny": (2, 2, 6, 2),
+    "swin_small": (2, 2, 18, 2),
+    "swin_base": (2, 2, 18, 2),
+}
+
+
+def convert_swin(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    """timm swin_{tiny,small,base}_patch4_window7_224 state_dict → repo
+    layout.
+
+    Source naming (timm/models/swin_transformer.py, classic layout):
+      patch_embed.proj / patch_embed.norm
+      layers.{s}.blocks.{b}.{norm1,attn.qkv,attn.proj,
+        attn.relative_position_bias_table,norm2,mlp.fc1,mlp.fc2}
+      layers.{s}.downsample.{norm,reduction}   (end of stage s ⇒ merge{s})
+      norm / head
+    attn.relative_position_index buffers are skipped — the repo recomputes
+    the static index at trace time."""
+    variant = "_".join(model_name.split("_")[:2])
+    depths = _SWIN_DEPTHS[variant]
+    params: Flat = {}
+    stats: Flat = {}
+
+    def ln(dst: str, src: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+
+    def dense(dst: str, src: str, bias: bool = True) -> None:
+        params[f"{dst}/kernel"] = _t(sd[f"{src}.weight"])
+        if bias:
+            params[f"{dst}/bias"] = sd[f"{src}.bias"]
+
+    params["patch_embed/kernel"] = _conv(sd["patch_embed.proj.weight"])
+    params["patch_embed/bias"] = sd["patch_embed.proj.bias"]
+    ln("patch_norm", "patch_embed.norm")
+
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            dst = f"stage{s}_block{b}"
+            src = f"layers.{s}.blocks.{b}"
+            ln(f"{dst}/norm1", f"{src}.norm1")
+            dense(f"{dst}/attn/qkv", f"{src}.attn.qkv")
+            params[f"{dst}/attn/relative_position_bias_table"] = sd[
+                f"{src}.attn.relative_position_bias_table"
+            ]
+            dense(f"{dst}/attn/proj", f"{src}.attn.proj")
+            ln(f"{dst}/norm2", f"{src}.norm2")
+            dense(f"{dst}/mlp/Dense_0", f"{src}.mlp.fc1")
+            dense(f"{dst}/mlp/Dense_1", f"{src}.mlp.fc2")
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            ln(f"merge{s}/norm", f"layers.{s}.downsample.norm")
+            dense(f"merge{s}/reduction", f"layers.{s}.downsample.reduction",
+                  bias=False)
+
+    ln("norm", "norm")
+    dense("head", "head")
+    return params, stats
+
+
 # ------------------------------------------------------------------- dispatch
 
 
@@ -502,10 +565,12 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
         return convert_mobilenetv3(sd, model_name)
     if model_name.startswith("efficientnet"):
         return convert_efficientnet(sd, model_name)
+    if model_name.startswith("swin"):
+        return convert_swin(sd, model_name)
     raise ValueError(
         f"no torch converter for model family of {model_name!r} "
         "(supported: resnet*, convnext*, vit*, efficientvit*, mobilenetv3*, "
-        "efficientnet_b*)"
+        "efficientnet_b*, swin_*)"
     )
 
 

@@ -8,7 +8,7 @@ from typing import Any, Callable, Dict
 
 import jax.numpy as jnp
 
-from . import convnext, efficientnet, efficientvit, mobilenetv3, resnet, vit
+from . import convnext, efficientnet, efficientvit, mobilenetv3, resnet, swin, vit
 
 _REGISTRY: Dict[str, Callable] = {}
 
@@ -46,6 +46,10 @@ for _n in ("mobilenetv3_large_100", "mobilenetv3_small_100",
 for _n in ("efficientnet_b0", "efficientnet_b1", "efficientnet_b2",
            "efficientnet_b3", "efficientnet_b4"):
     register(_n, getattr(efficientnet, _n))
+for _n in ("swin_tiny_patch4_window7_224", "swin_small_patch4_window7_224",
+           "swin_base_patch4_window7_224"):
+    register(_n, getattr(swin, _n))
+    register(_n.replace("_patch4_window7_224", ""), getattr(swin, _n))
 
 
 def create_model(

@@ -1,0 +1,236 @@
+"""Swin Transformer (NHWC, flax.linen) — timm-layout parity.
+
+The reference reaches this family through `timm.create_model`
+(/root/reference/train.py:194); this is a from-scratch TPU-native
+implementation of timm's `swin_{tiny,small,base}_patch4_window7_224`
+(microsoft/Swin-Transformer semantics) so timm hub state_dicts convert
+directly (checkpoint/torch_convert.convert_swin).
+
+TPU notes: window partition/reverse are pure reshapes+transposes that XLA
+folds into the surrounding matmuls' layouts; the per-window attention is a
+[B·nW, 49, C] batched matmul — small but MXU-tileable, and every window is
+independent so the batch dimension carries the parallelism. The shifted-
+window attention mask and the relative-position index are STATIC for a
+given (H, W, window, shift) — both are computed in numpy at trace time and
+enter the graph as constants (no dynamic shapes, no recompiles between
+steps). Windows clamp to the feature-map size on small inputs (timm does
+the same), so any input divisible by 32 works.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import DropPath, Mlp, drop_path_rates, truncated_normal_init
+
+Dtype = Any
+
+
+@lru_cache(maxsize=None)
+def _relative_position_index(w: int) -> np.ndarray:
+    """[w², w²] index into the (2w-1)² relative-position bias table
+    (Swin-Transformer models/swin_transformer.py semantics)."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)                           # [2, w²]
+    rel = flat[:, :, None] - flat[:, None, :]              # [2, w², w²]
+    rel = rel.transpose(1, 2, 0) + (w - 1)                 # shift to >= 0
+    return (rel[:, :, 0] * (2 * w - 1) + rel[:, :, 1]).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def _shift_attn_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
+    """[nW, w², w²] additive mask (-100 across region boundaries) for
+    shifted-window attention. Static per feature-map geometry."""
+    img = np.zeros((H, W), np.int32)
+    cnt = 0
+    for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+        for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    wins = (
+        img.reshape(H // w, w, W // w, w)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, w * w)
+    )                                                      # [nW, w²]
+    diff = wins[:, None, :] != wins[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x, w):
+    B, H, W, C = x.shape
+    return (
+        x.reshape(B, H // w, w, W // w, w, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, w * w, C)
+    )
+
+
+def _window_reverse(x, w, H, W):
+    B = x.shape[0] // (H // w * W // w)
+    return (
+        x.reshape(B, H // w, W // w, w, w, -1)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H, W, -1)
+    )
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias; params mirror timm
+    (qkv: one Dense 3C w/ bias; proj: Dense C; bias table [(2w-1)², heads])."""
+
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B_, N, C = x.shape
+        h, hd = self.num_heads, self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype,
+                       kernel_init=truncated_normal_init(), name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                   # [B_, h, N, hd]
+        attn = jnp.einsum("bhnk,bhmk->bhnm", q * (hd ** -0.5), k)
+
+        table = self.param(
+            "relative_position_bias_table",
+            truncated_normal_init(),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+        )
+        idx = _relative_position_index(self.window)        # static numpy
+        bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+        attn = attn + bias.astype(attn.dtype)[None]
+
+        if mask is not None:                               # [nW, N, N] static
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, h, N, N) + \
+                jnp.asarray(mask, attn.dtype)[None, :, None]
+            attn = attn.reshape(B_, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhnm,bhmk->bhnk", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        kernel_init=truncated_normal_init(), name="proj")(y)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        if H <= self.window and W <= self.window:
+            # one window covers the map: clamp and drop the shift (timm
+            # SwinTransformerBlock does the same for small feature maps)
+            w, shift = min(H, W), 0
+        else:
+            w, shift = self.window, self.shift
+            assert H % w == 0 and W % w == 0, (
+                f"feature map {H}x{W} not divisible by window {w} — use an "
+                f"input size divisible by {4 * w} (e.g. 224)"
+            )
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        y = _window_partition(y, w)
+        mask = _shift_attn_mask(H, W, w, shift) if shift else None
+        y = WindowAttention(self.dim, self.num_heads, w,
+                            dtype=self.dtype, name="attn")(y, mask)
+        y = _window_reverse(y, w, H, W)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = x + DropPath(self.drop_path)(y, deterministic=not train)
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), drop_rate=self.drop_rate,
+                dtype=self.dtype, name="mlp")(y, deterministic=not train)
+        return x + DropPath(self.drop_path)(y, deterministic=not train)
+
+
+class PatchMerging(nn.Module):
+    """2x2 neighborhood concat (4C) -> LN -> Linear 4C->2C (timm order)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        # timm concat order: (0::2,0::2), (1::2,0::2), (0::2,1::2), (1::2,1::2)
+        y = jnp.concatenate([
+            x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+            x[:, 0::2, 1::2], x[:, 1::2, 1::2],
+        ], axis=-1)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                        kernel_init=truncated_normal_init(),
+                        name="reduction")(y)
+
+
+class SwinTransformer(nn.Module):
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    num_classes: int = 1000
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.embed_dim, (4, 4), (4, 4), padding="VALID",
+                    dtype=self.dtype, kernel_init=truncated_normal_init(),
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="patch_norm")(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
+        rates = drop_path_rates(self.drop_path_rate, self.depths)
+        for s, depth in enumerate(self.depths):
+            dim = self.embed_dim * 2 ** s
+            if s > 0:
+                x = PatchMerging(dtype=self.dtype,
+                                 name=f"merge{s - 1}")(x)
+            for b in range(depth):
+                x = SwinBlock(
+                    dim, self.num_heads[s], self.window,
+                    shift=0 if b % 2 == 0 else self.window // 2,
+                    drop_rate=self.drop_rate, drop_path=rates[s][b],
+                    dtype=self.dtype, name=f"stage{s}_block{b}",
+                )(x, train=train)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = x.mean(axis=(1, 2))
+        x = nn.Dense(self.num_classes, dtype=jnp.float32,
+                     kernel_init=nn.initializers.zeros, name="head")(x)
+        return x
+
+
+def _make(dim, depths, heads):
+    def ctor(num_classes=1000, dtype=jnp.float32, drop_path_rate=0.0,
+             drop_rate=0.0, **kw):
+        return SwinTransformer(
+            embed_dim=dim, depths=depths, num_heads=heads,
+            num_classes=num_classes, drop_rate=drop_rate,
+            drop_path_rate=drop_path_rate, dtype=dtype,
+        )
+    return ctor
+
+
+swin_tiny_patch4_window7_224 = _make(96, (2, 2, 6, 2), (3, 6, 12, 24))
+swin_small_patch4_window7_224 = _make(96, (2, 2, 18, 2), (3, 6, 12, 24))
+swin_base_patch4_window7_224 = _make(128, (2, 2, 18, 2), (4, 8, 16, 32))

@@ -98,6 +98,24 @@ def test_param_count_efficientnet():
     assert n == 12_233_232, n
 
 
+def test_param_count_swin():
+    # timm exact counts: tiny 28,288,354 / small 49,606,258 / base 87,768,224
+    for name, want in [("swin_tiny", 28_288_354), ("swin_small", 49_606_258),
+                       ("swin_base", 87_768_224)]:
+        n = _param_count(create_model(name, num_classes=1000),
+                         (1, 224, 224, 3))
+        assert n == want, (name, n, want)
+
+
+def test_swin_bad_input_size_raises():
+    model = create_model("swin_tiny", num_classes=3)
+    with pytest.raises(AssertionError, match="divisible"):
+        jax.eval_shape(lambda: model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            jnp.zeros((1, 96, 96, 3)), train=False,
+        ))
+
+
 def test_kwarg_routing():
     cfg = TrainConfig(model="efficientvit_m0", drop_path=0.1)
     kw = model_kwargs_for(cfg, 7)

@@ -901,3 +901,187 @@ def test_efficientnet_torch_parity(name):
         ref = net(x).numpy()
     got = _flax_logits(name, net.state_dict(), x.numpy(), num_classes=6)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------ timm Swin ----------
+# mirrors timm/models/swin_transformer.py classic naming: patch_embed.proj/
+# norm, layers.{s}.blocks.{b}.{norm1,attn.qkv,attn.proj,
+# attn.relative_position_bias_table,norm2,mlp.fc1/fc2},
+# layers.{s}.downsample.{norm,reduction}, norm, head
+
+
+def _tswin_partition(x, w):
+    B, H, W, C = x.shape
+    return (
+        x.view(B, H // w, w, W // w, w, C)
+        .permute(0, 1, 3, 2, 4, 5)
+        .reshape(-1, w * w, C)
+    )
+
+
+def _tswin_reverse(x, w, H, W):
+    B = x.shape[0] // (H // w * W // w)
+    return (
+        x.view(B, H // w, W // w, w, w, -1)
+        .permute(0, 1, 3, 2, 4, 5)
+        .reshape(B, H, W, -1)
+    )
+
+
+class _TSwinAttn(tnn.Module):
+    def __init__(self, dim, heads, w):
+        super().__init__()
+        self.heads, self.w = heads, w
+        self.scale = (dim // heads) ** -0.5
+        self.qkv = tnn.Linear(dim, 3 * dim)
+        self.proj = tnn.Linear(dim, dim)
+        self.relative_position_bias_table = tnn.Parameter(
+            torch.randn((2 * w - 1) ** 2, heads) * 0.02
+        )
+        from imageclassification_tpu.models.swin import (
+            _relative_position_index,
+        )
+
+        self.register_buffer(
+            "relative_position_index",
+            torch.from_numpy(_relative_position_index(w).copy()).long(),
+        )
+
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        h, hd = self.heads, C // self.heads
+        qkv = self.qkv(x).reshape(B_, N, 3, h, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)
+        ].view(N, N, h).permute(2, 0, 1)
+        attn = attn + bias.unsqueeze(0)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.view(B_ // nW, nW, h, N, N) + mask[None, :, None]
+            attn = attn.view(B_, h, N, N)
+        attn = attn.softmax(dim=-1)
+        y = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(y)
+
+
+class _TSwinMlp(tnn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = tnn.Linear(dim, hidden)
+        self.act = tnn.GELU()
+        self.fc2 = tnn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+class _TSwinBlock(tnn.Module):
+    def __init__(self, dim, res, heads, w, shift):
+        super().__init__()
+        if res <= w:
+            w, shift = res, 0
+        self.res, self.w, self.shift = res, w, shift
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn = _TSwinAttn(dim, heads, w)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp = _TSwinMlp(dim, 4 * dim)
+        if shift:
+            from imageclassification_tpu.models.swin import _shift_attn_mask
+
+            self.register_buffer(
+                "attn_mask",
+                torch.from_numpy(_shift_attn_mask(res, res, w, shift).copy()),
+            )
+        else:
+            self.attn_mask = None
+
+    def forward(self, x):  # x [B, H, W, C]
+        B, H, W, C = x.shape
+        y = self.norm1(x)
+        if self.shift:
+            y = torch.roll(y, (-self.shift, -self.shift), dims=(1, 2))
+        y = _tswin_partition(y, self.w)
+        y = self.attn(y, self.attn_mask)
+        y = _tswin_reverse(y, self.w, H, W)
+        if self.shift:
+            y = torch.roll(y, (self.shift, self.shift), dims=(1, 2))
+        x = x + y
+        return x + self.mlp(self.norm2(x))
+
+
+class _TSwinDownsample(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.norm = tnn.LayerNorm(4 * dim)
+        self.reduction = tnn.Linear(4 * dim, 2 * dim, bias=False)
+
+    def forward(self, x):  # [B, H, W, C]
+        y = torch.cat([
+            x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+            x[:, 0::2, 1::2], x[:, 1::2, 1::2],
+        ], dim=-1)
+        return self.reduction(self.norm(y))
+
+
+class _TSwinStage(tnn.Module):
+    def __init__(self, dim, res, depth, heads, w, last):
+        super().__init__()
+        self.blocks = tnn.ModuleList([
+            _TSwinBlock(dim, res, heads, w, 0 if b % 2 == 0 else w // 2)
+            for b in range(depth)
+        ])
+        self.downsample = None if last else _TSwinDownsample(dim)
+
+    def forward(self, x):
+        for blk in self.blocks:
+            x = blk(x)
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return x
+
+
+class _TSwinPatchEmbed(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.proj = tnn.Conv2d(3, dim, 4, 4)
+        self.norm = tnn.LayerNorm(dim)
+
+    def forward(self, x):  # NCHW -> [B, H/4, W/4, C]
+        return self.norm(self.proj(x).permute(0, 2, 3, 1))
+
+
+class _TimmSwin(tnn.Module):
+    def __init__(self, dim, depths, heads, img, num_classes, w=7):
+        super().__init__()
+        self.patch_embed = _TSwinPatchEmbed(dim)
+        res = img // 4
+        self.layers = tnn.ModuleList()
+        for s, depth in enumerate(depths):
+            self.layers.append(_TSwinStage(
+                dim * 2 ** s, res, depth, heads[s], w,
+                last=s == len(depths) - 1,
+            ))
+            if s != len(depths) - 1:
+                res //= 2
+        self.norm = tnn.LayerNorm(dim * 2 ** (len(depths) - 1))
+        self.head = tnn.Linear(dim * 2 ** (len(depths) - 1), num_classes)
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        for layer in self.layers:
+            x = layer(x)
+        return self.head(self.norm(x).mean(dim=(1, 2)))
+
+
+def test_swin_torch_parity():
+    torch.manual_seed(17)
+    net = _TimmSwin(96, (2, 2, 6, 2), (3, 6, 12, 24), img=224,
+                    num_classes=4).eval()
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    got = _flax_logits("swin_tiny_patch4_window7_224", net.state_dict(),
+                       x.numpy(), num_classes=4)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
