@@ -540,6 +540,50 @@ def convert_swin(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
     return params, stats
 
 
+# ------------------------------------------------------------------ DenseNet
+
+
+def convert_densenet(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
+    """torchvision densenet{121,169,201} state_dict → repo layout.
+
+    Source naming (torchvision/models/densenet.py):
+      features.conv0 / features.norm0
+      features.denseblock{i}.denselayer{j}.{norm1,conv1,norm2,conv2}  (1-based)
+      features.transition{i}.{norm,conv}
+      features.norm5 / classifier"""
+    from ..models.densenet import _CONFIGS
+
+    cfg = _CONFIGS[model_name]
+    params: Flat = {}
+    stats: Flat = {}
+
+    def bn(dst: str, src: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+        stats[f"{dst}/mean"] = sd[f"{src}.running_mean"]
+        stats[f"{dst}/var"] = sd[f"{src}.running_var"]
+
+    params["conv0/kernel"] = _conv(sd["features.conv0.weight"])
+    bn("norm0", "features.norm0")
+    for i, layers in enumerate(cfg):
+        for j in range(layers):
+            dst = f"block{i}_layer{j}"
+            src = f"features.denseblock{i + 1}.denselayer{j + 1}"
+            bn(f"{dst}/norm1", f"{src}.norm1")
+            params[f"{dst}/conv1/kernel"] = _conv(sd[f"{src}.conv1.weight"])
+            bn(f"{dst}/norm2", f"{src}.norm2")
+            params[f"{dst}/conv2/kernel"] = _conv(sd[f"{src}.conv2.weight"])
+        if i != len(cfg) - 1:
+            bn(f"transition{i}_norm", f"features.transition{i + 1}.norm")
+            params[f"transition{i}_conv/kernel"] = _conv(
+                sd[f"features.transition{i + 1}.conv.weight"]
+            )
+    bn("norm5", "features.norm5")
+    params["head/kernel"] = _t(sd["classifier.weight"])
+    params["head/bias"] = sd["classifier.bias"]
+    return params, stats
+
+
 # ------------------------------------------------------------------- dispatch
 
 
@@ -567,10 +611,12 @@ def convert_state_dict(sd: dict, model_name: str) -> Tuple[Flat, Flat]:
         return convert_efficientnet(sd, model_name)
     if model_name.startswith("swin"):
         return convert_swin(sd, model_name)
+    if model_name.startswith("densenet"):
+        return convert_densenet(sd, model_name)
     raise ValueError(
         f"no torch converter for model family of {model_name!r} "
         "(supported: resnet*, convnext*, vit*, efficientvit*, mobilenetv3*, "
-        "efficientnet_b*, swin_*)"
+        "efficientnet_b*, swin_*, densenet*)"
     )
 
 

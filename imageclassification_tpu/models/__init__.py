@@ -8,7 +8,7 @@ from typing import Any, Callable, Dict
 
 import jax.numpy as jnp
 
-from . import convnext, efficientnet, efficientvit, mobilenetv3, resnet, swin, vit
+from . import convnext, densenet, efficientnet, efficientvit, mobilenetv3, resnet, swin, vit
 
 _REGISTRY: Dict[str, Callable] = {}
 
@@ -50,6 +50,8 @@ for _n in ("swin_tiny_patch4_window7_224", "swin_small_patch4_window7_224",
            "swin_base_patch4_window7_224"):
     register(_n, getattr(swin, _n))
     register(_n.replace("_patch4_window7_224", ""), getattr(swin, _n))
+for _n in ("densenet121", "densenet169", "densenet201"):
+    register(_n, getattr(densenet, _n))
 
 
 def create_model(

@@ -31,6 +31,7 @@ def _init_and_forward(model, x, train=False):
         ("efficientvit_m0", 64),
         ("mobilenet_v3_small", 64),
         ("efficientnet_b0", 64),
+        ("densenet121", 64),
     ],
 )
 def test_forward_shapes(name, size):
@@ -114,6 +115,15 @@ def test_swin_bad_input_size_raises():
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             jnp.zeros((1, 96, 96, 3)), train=False,
         ))
+
+
+def test_param_count_densenet():
+    # torchvision exact counts
+    for name, want in [("densenet121", 7_978_856),
+                       ("densenet201", 20_013_928)]:
+        n = _param_count(create_model(name, num_classes=1000),
+                         (1, 64, 64, 3))
+        assert n == want, (name, n, want)
 
 
 def test_kwarg_routing():

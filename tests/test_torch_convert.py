@@ -359,7 +359,7 @@ def test_convert_torch_checkpoint_file_roundtrip(tmp_path):
 
 def test_unknown_family_raises():
     with pytest.raises(ValueError, match="no torch converter"):
-        convert_state_dict({}, "mobilenetv3_large")
+        convert_state_dict({}, "inception_v3")
 
 
 def test_resample_pos_embed():
@@ -1085,3 +1085,77 @@ def test_swin_torch_parity():
     got = _flax_logits("swin_tiny_patch4_window7_224", net.state_dict(),
                        x.numpy(), num_classes=4)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
+
+
+# -------------------------------------------- torchvision DenseNet ---------
+# mirrors torchvision/models/densenet.py naming: features.conv0/norm0,
+# features.denseblock{i}.denselayer{j}.{norm1,conv1,norm2,conv2},
+# features.transition{i}.{norm,conv}, features.norm5, classifier
+
+
+class _TVDenseLayer(tnn.Module):
+    def __init__(self, cin, growth):
+        super().__init__()
+        self.norm1 = tnn.BatchNorm2d(cin)
+        self.conv1 = tnn.Conv2d(cin, 4 * growth, 1, bias=False)
+        self.norm2 = tnn.BatchNorm2d(4 * growth)
+        self.conv2 = tnn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(torch.relu(self.norm1(x)))
+        y = self.conv2(torch.relu(self.norm2(y)))
+        return torch.cat([x, y], dim=1)
+
+
+class _TVDenseNet(tnn.Module):
+    def __init__(self, cfg, growth, num_classes):
+        super().__init__()
+        feats = tnn.Module()
+        feats.conv0 = tnn.Conv2d(3, 2 * growth, 7, 2, 3, bias=False)
+        feats.norm0 = tnn.BatchNorm2d(2 * growth)
+        c = 2 * growth
+        for i, layers in enumerate(cfg):
+            block = tnn.Module()
+            for j in range(layers):
+                setattr(block, f"denselayer{j + 1}", _TVDenseLayer(c, growth))
+                c += growth
+            setattr(feats, f"denseblock{i + 1}", block)
+            if i != len(cfg) - 1:
+                tr = tnn.Module()
+                tr.norm = tnn.BatchNorm2d(c)
+                tr.conv = tnn.Conv2d(c, c // 2, 1, bias=False)
+                setattr(feats, f"transition{i + 1}", tr)
+                c //= 2
+        feats.norm5 = tnn.BatchNorm2d(c)
+        self.features = feats
+        self.classifier = tnn.Linear(c, num_classes)
+        self.cfg = cfg
+
+    def forward(self, x):
+        f = self.features
+        x = tnn.functional.max_pool2d(
+            torch.relu(f.norm0(f.conv0(x))), 3, 2, 1
+        )
+        for i in range(len(self.cfg)):
+            block = getattr(f, f"denseblock{i + 1}")
+            for j in range(self.cfg[i]):
+                x = getattr(block, f"denselayer{j + 1}")(x)
+            if i != len(self.cfg) - 1:
+                tr = getattr(f, f"transition{i + 1}")
+                x = tnn.functional.avg_pool2d(
+                    tr.conv(torch.relu(tr.norm(x))), 2, 2
+                )
+        x = torch.relu(f.norm5(x)).mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+def test_densenet_torch_parity():
+    torch.manual_seed(19)
+    net = _TVDenseNet((6, 12, 24, 16), 32, num_classes=5).eval()
+    _randomize_bn(net)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    got = _flax_logits("densenet121", net.state_dict(), x.numpy(),
+                       num_classes=5)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
