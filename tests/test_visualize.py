@@ -58,6 +58,8 @@ FAMILIES = [
     ("convnext_atto", "stage3_block1", 4),
     ("efficientvit_m0", "sub2_merge/ConvBN_0", 4),
     ("vit_tiny_patch16", "norm", 3),
+    ("mobilenet_v3_small", "bn_last", 4),
+    ("densenet121", "norm5", 4),
 ]
 
 
