@@ -181,7 +181,7 @@ def main():
             np.all(fin[k][src[k] == 0] == 0)
             for k, v in fin.items()
             if k.endswith("kernel") and v.ndim >= 2 and v.size > 4096
-            and k != "head/kernel"  # classifier is never pruned
+            and not k.endswith("head/kernel")  # classifiers never pruned
         )
         row = {
             "config": "prune_resnet50_global0.5",

@@ -252,8 +252,9 @@ def derive_prune_masks(params) -> Tuple[Any, float]:
         key = "/".join(_key_str(p) for p in path)
         arr = np.asarray(leaf)
         if (key.endswith("kernel") and arr.ndim >= 2 and arr.size > 4096
-                and key != "head/kernel"):  # prune_model never prunes the
-            # classifier head; don't freeze its (zero-init) entries either
+                and not key.endswith("head/kernel")):  # prune_model never
+            # prunes classifier Linears (head/pre_head); don't freeze their
+            # (zero-init) entries either
             m = arr != 0
             masks.append(m)
             total += m.size

@@ -26,15 +26,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import make_divisible
+
 Dtype = Any
 
 
-def round_channels(c: float, divisor: int = 8) -> int:
-    """timm round_channels: nearest multiple of 8, never dropping >10%."""
-    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
-    if new_c < 0.9 * c:
-        new_c += divisor
-    return new_c
+# timm round_channels (same rule as torchvision _make_divisible)
+round_channels = make_divisible
 
 
 # b0 base stage table: (kernel, stride, expand_ratio, out_ch, repeats)
@@ -148,8 +146,7 @@ class EfficientNet(nn.Module):
             x = MBConv(cin, cout, k, s, e,
                        drop_path=self.drop_path_rate * i / n,
                        dtype=self.dtype, name=f"block_{i}")(x, train=train)
-        head = round_channels(1280 * self.width_mult) \
-            if self.width_mult > 1.0 else 1280
+        head = round_channels(1280 * self.width_mult)
         x = nn.Conv(head, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_head")(x)
         x = jax.nn.silu(norm("bn_head")(x))

@@ -57,6 +57,16 @@ def truncated_normal_init(stddev: float = 0.02):
     return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
 
 
+def make_divisible(v: float, divisor: int = 8) -> int:
+    """Round to the nearest multiple of `divisor`, never dropping more than
+    10% (torchvision `_make_divisible` == timm `round_channels` — both
+    MobileNetV3 and EfficientNet channel tables use this rule)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 class Mlp(nn.Module):
     """Transformer MLP: Dense → act → Dense (+dropout)."""
 

@@ -28,16 +28,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import make_divisible
+
 Dtype = Any
 
 
-def _make_divisible(v: float, divisor: int = 8) -> int:
-    """torchvision _make_divisible: round to nearest multiple, never
-    dropping more than 10%."""
-    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
-    if new_v < 0.9 * v:
-        new_v += divisor
-    return new_v
+# torchvision _make_divisible (shared with EfficientNet's round_channels)
+_make_divisible = make_divisible
 
 
 class BlockCfg(NamedTuple):

@@ -14,7 +14,11 @@ window attention mask and the relative-position index are STATIC for a
 given (H, W, window, shift) — both are computed in numpy at trace time and
 enter the graph as constants (no dynamic shapes, no recompiles between
 steps). Windows clamp to the feature-map size on small inputs (timm does
-the same), so any input divisible by 32 works.
+the same). Input-size constraint: every stage's feature map must divide
+into whole windows (or fit inside one), and PatchMerging halves maps so
+they must be even when merged — for window 7 that means inputs of
+224·2^k (224, 448, 896, …); SwinTransformer validates this up front with
+an exact error instead of crashing mid-stage.
 """
 
 from __future__ import annotations
@@ -139,9 +143,10 @@ class SwinBlock(nn.Module):
             w, shift = min(H, W), 0
         else:
             w, shift = self.window, self.shift
+            # unreachable through SwinTransformer (validated up front by
+            # check_input_size); kept for direct SwinBlock users
             assert H % w == 0 and W % w == 0, (
-                f"feature map {H}x{W} not divisible by window {w} — use an "
-                f"input size divisible by {4 * w} (e.g. 224)"
+                f"feature map {H}x{W} not divisible by window {w}"
             )
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -181,6 +186,35 @@ class PatchMerging(nn.Module):
                         name="reduction")(y)
 
 
+def check_input_size(size: int, window: int, n_stages: int = 4) -> None:
+    """Raise ValueError unless `size` runs through every stage: each
+    stage's feature map (size/4, halved by PatchMerging before stages
+    1..n-1) must be divisible by `window` when larger than one window,
+    and even whenever it is merged."""
+
+    def ok(h: int) -> bool:
+        if h % 4:
+            return False
+        m = h // 4
+        for s in range(n_stages):
+            if s > 0:
+                if m % 2:
+                    return False
+                m //= 2
+            if m > window and m % window:
+                return False
+        return True
+
+    if not ok(size):
+        valid = [s for s in range(window * 4, 8 * 224 + 1) if ok(s)]
+        raise ValueError(
+            f"input size {size} unsupported by Swin with window {window}: "
+            f"every stage's feature map must divide into {window}-windows "
+            f"(or fit in one) and be even when PatchMerging halves it. "
+            f"Supported sizes ≤ {8 * 224}: {valid}"
+        )
+
+
 class SwinTransformer(nn.Module):
     embed_dim: int = 96
     depths: Sequence[int] = (2, 2, 6, 2)
@@ -193,6 +227,8 @@ class SwinTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        for size in (x.shape[1], x.shape[2]):
+            check_input_size(size, self.window, len(self.depths))
         x = x.astype(self.dtype)
         x = nn.Conv(self.embed_dim, (4, 4), (4, 4), padding="VALID",
                     dtype=self.dtype, kernel_init=truncated_normal_init(),

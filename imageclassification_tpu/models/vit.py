@@ -147,7 +147,11 @@ class HeadMajorAttention(nn.Module):
         w = jnp.einsum("bhnk,bhmk->bhnm", q * (hd ** -0.5), k)
         w = jax.nn.softmax(w, axis=-1)
         if self.dropout_rate > 0.0:
-            w = nn.Dropout(self.dropout_rate)(
+            # flax MHA defaults to broadcast_dropout=True: one [N, N] mask
+            # shared across batch AND heads — match that regularization
+            # semantics (the RNG stream still differs, so train-mode runs
+            # are seed-equivalent in distribution, not bit-identical)
+            w = nn.Dropout(self.dropout_rate, broadcast_dims=(0, 1))(
                 w, deterministic=self.deterministic
             )
         y = jnp.einsum("bhnm,bhmk->bhnk", w, v)

@@ -158,9 +158,10 @@ def prune_model(
     eligible = {
         k: np.asarray(v, np.float32) for k, v in flat.items()
         if k.endswith("kernel") and np.ndim(v) >= 2 and np.size(v) > 4096
-        and k != "head/kernel"  # never prune the classifier: its weights are
-        # small-magnitude vs conv kernels, so a global threshold zeroes it
-        # outright and --prune_mask would freeze the logits at bias-only
+        and not k.endswith("head/kernel")  # never prune classifier Linears
+        # (head, mobilenetv3 pre_head): their weights are small-magnitude vs
+        # conv kernels, so a global threshold zeroes them outright and
+        # --prune_mask would freeze the logits at bias-only
     }
     if not eligible:
         raise ValueError("no prunable kernels found")

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from imageclassification_tpu.models import create_model, list_models, model_kwargs_for
@@ -99,6 +100,46 @@ def test_param_count_efficientnet():
     assert n == 12_233_232, n
 
 
+def test_swin_relative_position_index_brute_force():
+    """Independent double-loop derivation of the relative-position index
+    (Swin paper eq. 4 layout) — breaks the circularity where the torch-side
+    parity model in test_torch_convert imports the repo's own table."""
+    from imageclassification_tpu.models.swin import _relative_position_index
+
+    for w in (2, 3, 7):
+        n = w * w
+        want = np.zeros((n, n), np.int64)
+        for i in range(n):
+            for j in range(n):
+                ri, ci = divmod(i, w)
+                rj, cj = divmod(j, w)
+                want[i, j] = (ri - rj + w - 1) * (2 * w - 1) + (ci - cj + w - 1)
+        np.testing.assert_array_equal(_relative_position_index(w), want)
+
+
+def test_swin_shift_mask_brute_force():
+    """Independent derivation of the shifted-window attention mask: after
+    rolling by -shift, two positions in a window may attend iff their
+    ORIGINAL coordinates have the same wrap-around status in both axes
+    (equivalent to the canonical 3x3-slice region construction, derived
+    without it). Window order is row-major over the window grid."""
+    from imageclassification_tpu.models.swin import _shift_attn_mask
+
+    for H, W, w, shift in [(14, 14, 7, 3), (28, 28, 7, 3), (8, 12, 4, 2)]:
+        got = np.asarray(_shift_attn_mask(H, W, w, shift))
+        wins = []
+        for bi in range(H // w):
+            for bj in range(W // w):
+                rr, cc = np.meshgrid(np.arange(bi * w, bi * w + w),
+                                     np.arange(bj * w, bj * w + w),
+                                     indexing="ij")
+                grp = ((rr + shift) >= H).astype(int) * 2 \
+                    + ((cc + shift) >= W).astype(int)
+                f = grp.reshape(-1)
+                wins.append(np.where(f[:, None] == f[None, :], 0.0, -100.0))
+        np.testing.assert_array_equal(got, np.stack(wins).astype(got.dtype))
+
+
 def test_param_count_swin():
     # timm exact counts: tiny 28,288,354 / small 49,606,258 / base 87,768,224
     for name, want in [("swin_tiny", 28_288_354), ("swin_small", 49_606_258),
@@ -109,11 +150,24 @@ def test_param_count_swin():
 
 
 def test_swin_bad_input_size_raises():
+    from imageclassification_tpu.models.swin import check_input_size
+
     model = create_model("swin_tiny", num_classes=3)
-    with pytest.raises(AssertionError, match="divisible"):
-        jax.eval_shape(lambda: model.init(
+    # every unsupported size dies up front with the exact constraint —
+    # including 112, which the old window-only guard recommended and which
+    # then crashed opaquely inside PatchMerging (7x7 map, odd merge)
+    for bad in (96, 112, 64, 336):
+        with pytest.raises(ValueError, match="unsupported by Swin"):
+            jax.eval_shape(lambda b=bad: model.init(
+                {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                jnp.zeros((1, b, b, 3)), train=False,
+            ))
+    # supported sizes pass the validator AND trace through all stages
+    for good in (224, 448):
+        check_input_size(good, 7)
+        jax.eval_shape(lambda g=good: model.init(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-            jnp.zeros((1, 96, 96, 3)), train=False,
+            jnp.zeros((1, g, g, 3)), train=False,
         ))
 
 

@@ -879,7 +879,7 @@ class _TimmEfficientNet(tnn.Module):
                 cin = cout
             stages.append(tnn.Sequential(*blocks))
         self.blocks = tnn.Sequential(*stages)
-        head = round_channels(1280 * w) if w > 1.0 else 1280
+        head = round_channels(1280 * w)
         self.conv_head = tnn.Conv2d(cin, head, 1, bias=False)
         self.bn2 = tnn.BatchNorm2d(head)
         self.classifier = tnn.Linear(head, num_classes)

@@ -57,7 +57,9 @@ FAMILIES = [
     ("resnet18", "BasicBlock_7", 4),
     ("convnext_atto", "stage3_block1", 4),
     ("efficientvit_m0", "sub2_merge/ConvBN_0", 4),
-    ("vit_tiny_patch16", "norm", 3),
+    # pre-last-attention target: later layers have exactly-zero patch-token
+    # gradients (classifier reads only the cls token)
+    ("vit_tiny_patch16", "block11/LayerNorm_0", 3),
     ("mobilenet_v3_small", "bn_last", 4),
     ("densenet121", "norm5", 4),
 ]
@@ -84,6 +86,15 @@ def test_auto_layer_and_gradcam(name, expect_layer, ndim):
     fn = make_gradcam_fn(model, layer, act_shape, img)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    # the head kernel is zero-init — randomize it so gradients exist, and
+    # assert the CAM is NOT the all-zero degenerate map (catches picking a
+    # post-last-attention ViT layer, where patch-token grads vanish exactly)
+    params = dict(params)
+    params["head"] = dict(params["head"])
+    params["head"]["kernel"] = jax.random.normal(
+        jax.random.key(5), params["head"]["kernel"].shape,
+        params["head"]["kernel"].dtype,
+    ) * 0.1
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (batch, img, img, 3), dtype=np.uint8)
     probs, cams = fn(params, batch_stats, jnp.asarray(images), jnp.int32(-1))
@@ -92,6 +103,28 @@ def test_auto_layer_and_gradcam(name, expect_layer, ndim):
     assert cams.shape == (batch, img, img)
     assert np.isfinite(cams).all()
     assert cams.min() >= 0.0 and cams.max() <= 1.0 + 1e-6
+
+    # the true anti-degeneracy invariant: the gradient of a logit wrt the
+    # picked activation must be nonzero at NON-cls positions. Picking any
+    # post-last-attention ViT layer fails this exactly (patch tokens feed
+    # nothing the classifier reads); CAM ReLU-clipping noise does not.
+    from visualize import _probe_apply
+
+    v2 = dict(v := {"params": params})
+    if batch_stats:
+        v2["batch_stats"] = batch_stats
+    # random (not zero) input: at x=0 every pre-ReLU activation in a
+    # fresh BN-CNN is exactly 0 and relu'(0)=0 kills all gradients
+    x = jnp.asarray(rng.normal(size=(batch, img, img, 3)), jnp.float32)
+
+    def logit0(probe):
+        logits, _ = _probe_apply(model, v2, x, layer, probe)
+        return logits[:, 0].sum()
+
+    g = jax.grad(logit0)(jnp.zeros(act_shape, jnp.float32))
+    g = np.asarray(g)
+    spatial = g[:, 1:] if g.ndim == 3 else g  # 3D: drop the cls token
+    assert np.abs(spatial).max() > 0.0, "zero gradient at patch positions"
 
     # probe identity: the gradcam pass's probabilities equal a plain forward
     from imageclassification_tpu.data.augment import eval_preprocess
@@ -135,6 +168,9 @@ def test_gradcam_cli_end_to_end(tmp_path):
     import sys
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # strip the axon sitecustomize (PYTHONPATH) so the subprocess cannot
+    # claim the real TPU — same hermeticity trick as test_multiprocess
+    env.pop("PYTHONPATH", None)
     out_dir = tmp_path / "viz"
     r = subprocess.run(
         [sys.executable, "visualize.py", "--mode", "gradcam",
@@ -157,6 +193,9 @@ def test_summary_cli(tmp_path):
     import sys
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # strip the axon sitecustomize (PYTHONPATH) so the subprocess cannot
+    # claim the real TPU — same hermeticity trick as test_multiprocess
+    env.pop("PYTHONPATH", None)
     r = subprocess.run(
         [sys.executable, "visualize.py", "--mode", "summary",
          "--model", "resnet18", "--num_classes", "5", "--img_size", "32",

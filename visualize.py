@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 
 import jax
 import jax.numpy as jnp
@@ -73,21 +74,55 @@ def _griddable(n):
     return False
 
 
+_ATTN_RE = re.compile(r"(?i)attention|(^|/)attn(/|$)")
+
+
 def pick_cam_layer(order):
     """Default Grad-CAM target: the LAST module in execution order whose
     output is a spatial map — 4D (B,H,W,C) with a square H=W>1 extent
     (CNN feature; squareness excludes attention internals like
     (B,N,heads,head_dim)), or a 3D (B,N,C) token sequence whose N forms a
-    patch grid (ViT)."""
-    last = None
-    for path, shape in order:
+    patch grid (ViT).
+
+    ViT caveat: after the FINAL attention nothing mixes tokens, and the
+    classifier reads only the cls token — so gradients at every patch token
+    of a later layer are exactly zero and the CAM would be blank. For the
+    3D case the pick is therefore the last token map BEFORE the last
+    attention call (≈ blocks[-1].norm1, the standard ViT Grad-CAM target);
+    4D CNN maps feed a global pool and don't have this problem."""
+    last4 = last4_i = None
+    cand3 = []
+    attn_prefix = None
+    for i, (path, shape) in enumerate(order):
         if len(shape) == 4 and shape[1] == shape[2] and shape[1] > 1:
-            last = path
+            last4, last4_i = path, i
         elif len(shape) == 3 and _griddable(shape[1]):
-            last = path
-    if last is None:
-        raise ValueError("no spatial module output found to visualize")
-    return last
+            cand3.append((i, path))
+        if _ATTN_RE.search(path):
+            # path of the attention MODULE itself (cut after the segment
+            # that matched, dropping any submodule tail like /query, /out)
+            segs = path.split("/")
+            k = max(j for j, s in enumerate(segs) if _ATTN_RE.search(s))
+            attn_prefix = "/".join(segs[: k + 1])
+    if attn_prefix is None:
+        first_attn_i = len(order)
+    else:
+        # first call belonging to the LAST attention module: everything at
+        # or after this index has zero gradient at patch tokens
+        first_attn_i = min(
+            i for i, (p, _) in enumerate(order)
+            if p == attn_prefix or p.startswith(attn_prefix + "/")
+        )
+    pre_attn3 = [p for i, p in cand3 if i < first_attn_i]
+    if last4 is not None and (not pre_attn3 or last4_i >= first_attn_i):
+        return last4
+    if pre_attn3:
+        return pre_attn3[-1]
+    if last4 is not None:
+        return last4
+    if cand3:
+        return cand3[-1][1]
+    raise ValueError("no spatial module output found to visualize")
 
 
 def _probe_apply(model, variables, x, layer, probe):
