@@ -24,12 +24,15 @@ import re
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import image as I
 
 # ImageNet PCA lighting (standard AlexNet eigendecomposition)
-LIGHTING_EIGVAL = jnp.array([0.2175, 0.0188, 0.0045])
-LIGHTING_EIGVEC = jnp.array([
+# numpy (not jnp): module-level device arrays would initialize the
+# PJRT backend at import, before CLIs can pin --device cpu
+LIGHTING_EIGVAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
+LIGHTING_EIGVEC = np.array([
     [-0.5675, 0.7192, 0.4009],
     [-0.5808, -0.0045, -0.8140],
     [-0.5836, -0.6948, 0.4203],

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .abel import abel_augment_batch, parse_abel_policy
 from .randaugment import (
@@ -30,8 +31,9 @@ from .randaugment import (
     rand_augment_batch,
 )
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+# numpy (not jnp): keep imports free of device-backend side effects
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def normalize(images_01):

@@ -20,11 +20,14 @@ from typing import Callable, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import image as I
 
 _LEVEL_DENOM = 10.0
-FILL = jnp.array([124.0, 116.0, 104.0])  # round(255*IMAGENET_MEAN), timm default
+# numpy (not jnp): a module-level device array would initialize the PJRT
+# backend at import, before CLIs can pin --device cpu
+FILL = np.array([124.0, 116.0, 104.0], np.float32)  # round(255*IMAGENET_MEAN), timm default
 
 
 def _rand_sign(rng, v):

@@ -225,7 +225,14 @@ if __name__ == "__main__":
     parser.add_argument("--model_ema", default=True, type=lambda v: v.lower() in ("1", "true", "t", "yes"))
     parser.add_argument("--mode", default="precision", choices=["precision", "move"])
     parser.add_argument("--batch_size", default=64, type=int)
+    parser.add_argument("--device", default="tpu", choices=["tpu", "cpu"],
+                        help="the reference hardcodes device in __main__ "
+                             "(val.py:91-100); cpu also covers chipless hosts")
     a = parser.parse_args()
+    if a.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     print("Start calculation!")
     if a.mode == "move":
         val_move(a.img_path, a.model_weight_path, a.img_size, a.model_ema, a.batch_size)
