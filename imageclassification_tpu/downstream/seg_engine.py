@@ -1,0 +1,165 @@
+"""Segmentation train/eval machinery (TPU-first mmseg-EncoderDecoder analogue).
+
+The reference defers segmentation training to an external mmsegmentation
+harness (`semantic_segmentation/README.md:44-67` — tools/dist_train.sh with
+IterBasedRunnerAmp); this module is the runnable TPU equivalent: ONE donated
+jit train step (normalize → forward → per-pixel CE (+0.4-weighted FCN aux,
+upernet_convnext.py:34-46) → grad → AdamW with per-iter poly LR injected from
+a device array) and a jit eval step that accumulates a num_classes² confusion
+matrix on device — mIoU falls out host-side at the end, no per-batch host
+sync. Batches are sharded over the mesh's data axis, so BN in the decode
+heads sees global-batch statistics (SyncBN) and gradients all-reduce over ICI
+automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.augment import IMAGENET_MEAN, IMAGENET_STD
+from ..engine.state import TrainState
+from ..optim.factory import set_hyperparams
+
+IGNORE_INDEX = 255  # mmseg convention: 255 = unlabeled, excluded everywhere
+
+
+def _normalize(images_u8):
+    """uint8 NHWC → ImageNet-normalized f32 (same constants the
+    classification eval path uses)."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
+
+
+def seg_loss(main_logits, aux_logits, labels, aux_weight: float = 0.4):
+    """Per-pixel CE averaged over non-ignored pixels, + aux_weight × the same
+    on the FCN aux head (mmseg loss_decode CrossEntropyLoss wiring,
+    upernet_convnext.py:31-33,45-46)."""
+    valid = (labels != IGNORE_INDEX)
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    denom = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+
+    def ce(logits):
+        px = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), safe)
+        return jnp.where(valid, px, 0.0).sum() / denom
+
+    loss = ce(main_logits)
+    if aux_logits is not None:
+        loss = loss + aux_weight * ce(aux_logits)
+    return loss
+
+
+def confusion_update(conf, logits, labels, num_classes: int):
+    """conf[c_true, c_pred] += count, ignoring 255 — a one-hot einsum
+    contraction (scatter-adds serialize on TPU)."""
+    preds = jnp.argmax(logits, axis=-1).reshape(-1)
+    lab = labels.reshape(-1)
+    valid = (lab != IGNORE_INDEX)
+    lab = jnp.where(valid, lab, 0).astype(jnp.int32)
+    t = jax.nn.one_hot(lab, num_classes, dtype=jnp.float32) * valid[:, None]
+    p = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    return conf + jnp.einsum("nt,np->tp", t, p)
+
+
+def miou_from_confusion(conf):
+    """(miou, per-class iou, overall pixel acc) from a [C, C] matrix; classes
+    absent from BOTH prediction and label are excluded from the mean
+    (mmseg nanmean semantics)."""
+    import numpy as np
+
+    conf = np.asarray(conf, np.float64)
+    inter = np.diag(conf)
+    union = conf.sum(0) + conf.sum(1) - inter
+    present = union > 0
+    iou = np.where(present, inter / np.maximum(union, 1), np.nan)
+    miou = float(np.nanmean(np.where(present, iou, np.nan))) if present.any() else 0.0
+    acc = float(inter.sum() / max(conf.sum(), 1.0))
+    return miou, iou, acc
+
+
+def build_seg_train_step(model, tx, lr_schedule, weight_decay: float,
+                         aux_weight: float = 0.4) -> Callable:
+    """train_step(state, images_u8, labels, rng) -> (state, loss). The poly LR
+    array is a device-resident jit constant gathered by state.step; weight
+    decay is constant across iters in the reference seg recipes."""
+    lr_schedule = jnp.asarray(lr_schedule, jnp.float32)
+
+    def loss_fn(params, batch_stats, images, labels, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            (main, aux), mut = model.apply(
+                variables, images, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            new_stats = mut["batch_stats"]
+        else:
+            main, aux = model.apply(
+                variables, images, train=True, rngs={"dropout": rng})
+            new_stats = batch_stats
+        return seg_loss(main, aux, labels, aux_weight), new_stats
+
+    def train_step(state: TrainState, images_u8, labels, rng):
+        images = _normalize(images_u8)
+        it = jnp.minimum(state.step, lr_schedule.shape[0] - 1)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   images, labels, rng)
+        opt_state = set_hyperparams(state.opt_state, lr_schedule[it],
+                                    weight_decay)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_stats, opt_state=opt_state), loss
+
+    return train_step
+
+
+def build_seg_eval_step(model, num_classes: int) -> Callable:
+    """eval_step(state, images_u8, labels, conf) -> conf (donated accumulator)."""
+
+    def eval_step(state: TrainState, images_u8, labels, conf):
+        images = _normalize(images_u8)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        main, _ = model.apply(variables, images, train=False)
+        return confusion_update(conf, main, labels, num_classes)
+
+    return eval_step
+
+
+def create_seg_optimizer(lr: float, weight_decay: float):
+    """AdamW betas (0.9, 0.999), wd on kernels only (the reference seg
+    recipes' optimizer, upernet_convnext_tiny_...ss.py:36-40; the no-decay
+    set — norms/biases — matches its custom_keys paramwise_cfg intent)."""
+
+    def decay_mask(p):
+        return jax.tree.map(lambda x: x.ndim >= 2, p)
+
+    tx = optax.inject_hyperparams(
+        lambda learning_rate, weight_decay: optax.adamw(
+            learning_rate, b1=0.9, b2=0.999,
+            weight_decay=weight_decay, mask=decay_mask)
+    )(learning_rate=lr, weight_decay=weight_decay)
+    return tx
+
+
+def transfer_backbone(model, variables, classifier_ckpt: str):
+    """Seed the UPerNet backbone from a classification checkpoint (the
+    reference's init_cfg/load_checkpoint path, backbone/convnext.py:110-138),
+    pruning head/norm keys that don't exist in the pyramid view."""
+    from ..checkpoint.io import load_checkpoint, load_params_with_pruning
+
+    ck = load_checkpoint(classifier_ckpt)
+    params = dict(variables["params"])
+    bb = params.get("backbone", params)  # UPerNet names the encoder 'backbone'
+    merged, skipped = load_params_with_pruning(bb, ck["model"])
+    params["backbone"] = merged
+    print(f"backbone transfer: {skipped} mismatched keys skipped")
+    return {**variables, "params": params}

@@ -105,6 +105,28 @@ def piecewise_scheduler(
     return schedule
 
 
+def poly_scheduler(
+    base_value,
+    total_iters,
+    power=1.0,
+    min_value=0.0,
+    warmup_iters=0,
+    warmup_ratio=1e-6,
+):
+    """mmseg PolyLrUpdaterHook semantics (the reference segmentation recipes:
+    semantic_segmentation/configs/convnext/upernet_convnext_tiny_512_160k_ade20k_ss.py:43-45
+    — poly power 1.0, min_lr 0, linear warmup 1500 iters, warmup_ratio 1e-6):
+    regular lr = (base-min)*(1-i/total)^power + min, scaled during warmup by
+    1 - (1 - i/warmup)*(1 - warmup_ratio)."""
+    i = np.arange(total_iters, dtype=np.float64)
+    reg = (base_value - min_value) * (1.0 - i / total_iters) ** power + min_value
+    if warmup_iters > 0:
+        k = np.minimum(i, warmup_iters) / warmup_iters
+        reg = reg * (1.0 - (1.0 - k) * (1.0 - warmup_ratio))
+    assert len(reg) == total_iters
+    return reg
+
+
 def build_schedules(args, niter_per_ep):
     """LR + WD arrays as train.py wires them (train.py:233-254): the chosen
     scheduler for LR, cosine (always) for WD from weight_decay→weight_decay_end."""

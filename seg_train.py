@@ -1,0 +1,216 @@
+"""Runnable UPerNet+ConvNeXt semantic-segmentation fine-tune (TPU-native).
+
+The reference ships segmentation as *configs only* and defers training to an
+external mmsegmentation checkout (`semantic_segmentation/README.md:44-67`:
+`tools/dist_train.sh configs/convnext/upernet_convnext_tiny_512_160k_ade20k_ss.py 8`).
+This CLI is the runnable TPU equivalent of that command — same recipe
+(UPerHead+FCN aux over the ConvNeXt pyramid, AdamW, poly LR with 1500-iter
+warmup, iter-based running), one compiled step per batch, batch sharded over
+the device mesh (BN in the heads is SyncBN by construction).
+
+    python seg_train.py --data_path /data/ade_like \
+        --config upernet_convnext_tiny_512_160k \
+        --pretrained_path train_cls/output/checkpoint-best.pth
+
+Dataset layout + pipeline: imageclassification_tpu/downstream/seg_data.py.
+Checkpoints (checkpoint-iter{N}.pth / checkpoint-best.pth, auto-resume) reuse
+the classification framework's writer, so val/visualize tooling can read them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imageclassification_tpu.downstream.configs import SEGMENTATION_CONFIGS
+from imageclassification_tpu.downstream.seg_data import (
+    num_classes_from_masks, scan_pairs, train_batches, val_batches)
+from imageclassification_tpu.downstream.seg_engine import (
+    build_seg_eval_step, build_seg_train_step, create_seg_optimizer,
+    miou_from_confusion, transfer_backbone)
+from imageclassification_tpu.downstream.upernet import build_upernet
+from imageclassification_tpu.engine.state import TrainState
+from imageclassification_tpu.optim.schedules import poly_scheduler
+from imageclassification_tpu.parallel.dist import init_distributed_mode
+from imageclassification_tpu.parallel.mesh import (
+    make_global_batch, make_mesh, shard_params)
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("TPU UPerNet segmentation", add_help=False)
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--config", type=str,
+                   default="upernet_convnext_tiny_512_160k",
+                   choices=sorted(SEGMENTATION_CONFIGS))
+    p.add_argument("--num_classes", type=int, default=0,
+                   help="0 = auto from the training masks")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="global; 0 = the recipe's 16 (2 img x 8 GPUs)")
+    p.add_argument("--crop_size", type=int, default=0,
+                   help="0 = the recipe's crop (512/640)")
+    p.add_argument("--total_iters", type=int, default=0,
+                   help="0 = the recipe's 160k")
+    p.add_argument("--warmup_iters", type=int, default=-1)
+    p.add_argument("--lr", type=float, default=0.0, help="0 = recipe lr")
+    p.add_argument("--pretrained_path", type=str, default="",
+                   help="classification checkpoint to seed the backbone")
+    p.add_argument("--output_dir", type=str, default="train_seg/output")
+    p.add_argument("--eval_interval", type=int, default=0,
+                   help="0 = eval only at the end")
+    p.add_argument("--save_ckpt_interval", type=int, default=0,
+                   help="0 = save only at the end")
+    p.add_argument("--log_interval", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--half_precision", type=lambda s: s.lower() != "false",
+                   default=True)
+    p.add_argument("--mesh_shape", type=str, default="")
+    p.add_argument("--dist_on_itp", action="store_true")
+    p.add_argument("--dist_url", default="env://")
+    return p
+
+
+def main(args):
+    init_distributed_mode(args)
+    mesh = make_mesh(args.mesh_shape)
+
+    cfg = SEGMENTATION_CONFIGS[args.config]
+    crop = args.crop_size or cfg.crop_size
+    batch = args.batch_size or cfg.batch_per_host
+    total_iters = args.total_iters or cfg.total_iters
+    warmup = cfg.warmup_iters if args.warmup_iters < 0 else args.warmup_iters
+    warmup = min(warmup, max(total_iters - 1, 0))
+    lr = args.lr or cfg.lr
+
+    n_dev = len(mesh.devices.flatten())
+    if batch % n_dev:  # batch shards over the mesh (train.py:276-280 check)
+        batch = max(n_dev, (batch // n_dev) * n_dev)
+        print(f"batch rounded to {batch} to divide across {n_dev} devices")
+
+    train_pairs = scan_pairs(args.data_path, "training")
+    val_pairs = scan_pairs(args.data_path, "validation")
+    num_classes = args.num_classes or num_classes_from_masks(train_pairs)
+    print(f"{len(train_pairs)} train / {len(val_pairs)} val pairs, "
+          f"{num_classes} classes, crop {crop}, batch {batch}, "
+          f"{total_iters} iters")
+
+    model, _ = build_upernet(args.config, num_classes,
+                             half_precision=args.half_precision)
+    tx = create_seg_optimizer(lr, cfg.weight_decay)
+
+    rng = jax.random.key(args.seed)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        jnp.zeros((1, crop, crop, 3), jnp.float32), train=False)
+    if args.pretrained_path:
+        variables = transfer_backbone(model, variables, args.pretrained_path)
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    state = shard_params(mesh, state)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    print(f"UPerNet({cfg.backbone}): {n_params / 1e6:.1f}M params")
+
+    lr_values = poly_scheduler(lr, total_iters, power=cfg.power,
+                               min_value=cfg.min_lr, warmup_iters=warmup)
+    train_step = jax.jit(
+        build_seg_train_step(model, tx, lr_values, cfg.weight_decay),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(build_seg_eval_step(model, num_classes),
+                        donate_argnums=(3,))
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log_path = out_dir.parent / "log.txt"
+    save_args = SimpleNamespace(output_dir=str(out_dir), model_ema=False,
+                                save_ckpt_num=3, save_ckpt_freq=1)
+    model_spec = {"task": "segmentation", "config": args.config,
+                  "num_classes": num_classes, "crop_size": crop}
+
+    def evaluate(state):
+        conf = jnp.zeros((num_classes, num_classes), jnp.float32)
+        for xs, ys in val_batches(val_pairs, crop, batch):
+            pad = batch - xs.shape[0]
+            if pad:  # static batch shape: pad and mark padded rows ignore
+                xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:], xs.dtype)])
+                ys = np.concatenate([ys, np.full((pad,) + ys.shape[1:], 255,
+                                                 ys.dtype)])
+            xs = make_global_batch(mesh, xs)
+            ys = make_global_batch(mesh, ys)
+            conf = eval_step(state, xs, ys, conf)
+        miou, iou, acc = miou_from_confusion(conf)
+        return miou, iou, acc
+
+    step_rng = jax.random.key(args.seed + 1)
+    t0 = time.time()
+    best_miou = -1.0
+    loss_avg, n_since = 0.0, 0
+    for it, (xs, ys) in enumerate(
+            train_batches(train_pairs, crop, batch, total_iters, args.seed)):
+        xs = make_global_batch(mesh, xs)
+        ys = make_global_batch(mesh, ys)
+        state, loss = train_step(state, xs, ys,
+                                 jax.random.fold_in(step_rng, it))
+        loss_avg += float(loss)
+        n_since += 1
+        last = it + 1 == total_iters
+        if (it + 1) % args.log_interval == 0 or last:
+            print(f"iter {it + 1}/{total_iters} loss {loss_avg / n_since:.4f} "
+                  f"lr {lr_values[min(it, len(lr_values) - 1)]:.2e} "
+                  f"({(time.time() - t0) / (it + 1):.2f}s/iter)")
+            loss_avg, n_since = 0.0, 0
+        if args.eval_interval and ((it + 1) % args.eval_interval == 0) \
+                and not last:
+            miou, _, acc = evaluate(state)
+            print(f"iter {it + 1}: mIoU {miou * 100:.2f} aAcc {acc * 100:.2f}")
+            if miou > best_miou:
+                _save_best(miou, state, save_args, crop, num_classes,
+                           model_spec)
+                best_miou = miou
+            with open(log_path, "a") as f:
+                f.write(json.dumps({"iter": it + 1, "miou": miou,
+                                    "aacc": acc}) + "\n")
+        if args.save_ckpt_interval and (it + 1) % args.save_ckpt_interval == 0:
+            from imageclassification_tpu.checkpoint.io import save_model
+            save_model(save_args, (1, crop, crop, 3), f"iter{it + 1}", state,
+                       num_classes, model_spec)
+
+    miou, iou, acc = evaluate(state)
+    if miou > best_miou:
+        _save_best(miou, state, save_args, crop, num_classes, model_spec)
+        best_miou = miou
+    per_class = {f"iou_{i}": (None if np.isnan(v) else round(float(v), 4))
+                 for i, v in enumerate(iou)}
+    row = {"iter": total_iters, "miou": miou, "aacc": acc,
+           "wall_clock_s": round(time.time() - t0, 1), **per_class}
+    print(f"final: mIoU {miou * 100:.2f} aAcc {acc * 100:.2f} "
+          f"(best {best_miou * 100:.2f})")
+    with open(log_path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    from imageclassification_tpu.checkpoint.io import (save_model,
+                                                       wait_for_pending_saves)
+    save_model(save_args, (1, crop, crop, 3), f"iter{total_iters}", state,
+               num_classes, model_spec)
+    wait_for_pending_saves()
+    return row
+
+
+def _save_best(miou, state, save_args, crop, num_classes, model_spec):
+    from imageclassification_tpu.checkpoint.io import save_model
+    save_model(save_args, (1, crop, crop, 3), "best", state, num_classes,
+               dict(model_spec, miou=miou))
+
+
+if __name__ == "__main__":
+    args = get_args_parser().parse_args()
+    main(args)
