@@ -111,14 +111,19 @@ def val_sample(img_path: str, ann_path: str, size: int):
             np.asarray(ann).astype(np.int32))
 
 
-def train_batches(pairs, crop: int, batch: int, iters: int, seed: int = 0):
-    """Infinite-ish iterator of `iters` uniformly-sampled batches."""
-    rng = np.random.default_rng(seed)
+def train_batches(pairs, crop: int, batch: int, iters: int, seed: int = 0,
+                  start: int = 0):
+    """Yields (iteration, images, labels) for iterations [start, iters).
+    Each iteration derives its own generator from (seed, iteration), so a
+    resumed run sees exactly the batches the original would have — no RNG
+    stream to fast-forward (the classification loader's counter-based
+    randomness rule, SURVEY §7)."""
     n = len(pairs)
-    for _ in range(iters):
+    for it in range(start, iters):
+        rng = np.random.default_rng([seed, it])
         idx = rng.integers(0, n, batch)
         xs, ys = zip(*(train_sample(*pairs[i], crop, rng) for i in idx))
-        yield np.stack(xs), np.stack(ys)
+        yield it, np.stack(xs), np.stack(ys)
 
 
 def val_batches(pairs, size: int, batch: int):

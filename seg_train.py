@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from pathlib import Path
 from types import SimpleNamespace
@@ -120,6 +121,31 @@ def main(args):
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"UPerNet({cfg.backbone}): {n_params / 1e6:.1f}M params")
 
+    # auto-resume from the highest checkpoint-iter{N}.pth (the classification
+    # CLI's auto_load_model semantics, iteration-based)
+    start_iter = 0
+    latest = _find_latest_iter_ckpt(args.output_dir)
+    if latest is not None:
+        from imageclassification_tpu.checkpoint.io import (
+            load_checkpoint, load_params_with_pruning)
+
+        path, start_iter = latest
+        print(f"Auto resume checkpoint: {path}")
+        ck = load_checkpoint(path)
+        params, missing = load_params_with_pruning(state.params, ck["model"])
+        state = state.replace(params=params)
+        if ck.get("batch_stats") and state.batch_stats:
+            bs, _ = load_params_with_pruning(
+                state.batch_stats, ck["batch_stats"], verbose=False)
+            state = state.replace(batch_stats=bs)
+        if missing == 0 and "optimizer" in ck:
+            opt, _ = load_params_with_pruning(
+                state.opt_state, ck["optimizer"], verbose=False)
+            state = state.replace(
+                opt_state=opt,
+                step=jnp.asarray(ck.get("step", start_iter), jnp.int32))
+            print("With optim & sched!")
+
     lr_values = poly_scheduler(lr, total_iters, power=cfg.power,
                                min_value=cfg.min_lr, warmup_iters=warmup)
     train_step = jax.jit(
@@ -155,8 +181,8 @@ def main(args):
     t0 = time.time()
     best_miou = -1.0
     loss_avg, n_since = 0.0, 0
-    for it, (xs, ys) in enumerate(
-            train_batches(train_pairs, crop, batch, total_iters, args.seed)):
+    for it, xs, ys in train_batches(train_pairs, crop, batch, total_iters,
+                                    args.seed, start=start_iter):
         xs = make_global_batch(mesh, xs)
         ys = make_global_batch(mesh, ys)
         state, loss = train_step(state, xs, ys,
@@ -167,7 +193,7 @@ def main(args):
         if (it + 1) % args.log_interval == 0 or last:
             print(f"iter {it + 1}/{total_iters} loss {loss_avg / n_since:.4f} "
                   f"lr {lr_values[min(it, len(lr_values) - 1)]:.2e} "
-                  f"({(time.time() - t0) / (it + 1):.2f}s/iter)")
+                  f"({(time.time() - t0) / (it + 1 - start_iter):.2f}s/iter)")
             loss_avg, n_since = 0.0, 0
         if args.eval_interval and ((it + 1) % args.eval_interval == 0) \
                 and not last:
@@ -203,6 +229,19 @@ def main(args):
                num_classes, model_spec)
     wait_for_pending_saves()
     return row
+
+
+def _find_latest_iter_ckpt(output_dir):
+    """(path, iter) of the highest checkpoint-iter{N}.pth, or None."""
+    import glob
+    import re
+
+    best = None
+    for p in glob.glob(os.path.join(output_dir, "checkpoint-iter*.pth")):
+        m = re.fullmatch(r"checkpoint-iter(\d+)\.pth", os.path.basename(p))
+        if m and (best is None or int(m.group(1)) > best[1]):
+            best = (p, int(m.group(1)))
+    return best
 
 
 def _save_best(miou, state, save_args, crop, num_classes, model_spec):

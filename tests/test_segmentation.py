@@ -255,6 +255,21 @@ def test_seg_cli_end_to_end(tmp_path):
     ck = load_checkpoint(str(out / "checkpoint-best.pth"))
     assert ck["model_spec"]["task"] == "segmentation"
 
+    # auto-resume: extending total_iters picks up checkpoint-iter4 (optimizer
+    # restored, step continues at 4) and trains only the remaining 2 iters
+    args2 = seg_train.get_args_parser().parse_args([
+        "--data_path", str(tmp_path),
+        "--config", "upernet_convnext_tiny_512_160k",
+        "--crop_size", "32", "--batch_size", "4", "--total_iters", "6",
+        "--warmup_iters", "2", "--log_interval", "2",
+        "--output_dir", str(out),
+    ])
+    row2 = seg_train.main(args2)
+    assert (out / "checkpoint-iter6.pth").exists()
+    ck6 = load_checkpoint(str(out / "checkpoint-iter6.pth"))
+    assert int(ck6["step"]) == 6
+    assert 0.0 <= row2["miou"] <= 1.0
+
 
 def test_backbone_transfer_from_classifier(tmp_path):
     """transfer_backbone seeds UPerNet's encoder from a classification
