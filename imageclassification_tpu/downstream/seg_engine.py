@@ -134,20 +134,72 @@ def build_seg_eval_step(model, num_classes: int) -> Callable:
     return eval_step
 
 
-def create_seg_optimizer(lr: float, weight_decay: float):
+def seg_decay_scales(params, decay_type: str, decay_rate: float,
+                     num_layers: int = 12):
+    """Per-leaf LR scales for the UPerNet tree, matching the reference's
+    LearningRateDecayOptimizerConstructor exactly
+    (layer_decay_optimizer_constructor.py:45-54,100):
+
+    stage_wise (with N = num_layers + 2): backbone stem/downsample → id 0,
+    backbone stage i → id i+1, everything else (decode heads, out-norms) →
+    id N-1; scale = decay_rate^(N - id - 1). layer_wise reuses the
+    classification 12-layer ConvNeXt map on the backbone subtree
+    (optim/layer_decay.py), heads at scale 1.0."""
+    import re
+
+    from ..optim.layer_decay import layer_decay_scales
+
+    if decay_type == "layer_wise":
+        bb_scales = layer_decay_scales(params["backbone"], "convnext",
+                                       decay_rate)
+        return {
+            k: (bb_scales if k == "backbone"
+                else jax.tree.map(lambda _: jnp.float32(1.0), v))
+            for k, v in params.items()
+        }
+
+    n = num_layers + 2
+
+    def leaf_id(path) -> int:
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if parts[0] != "backbone":
+            return n - 1
+        p = parts[1]
+        if p.startswith(("stem", "downsample_")):
+            return 0
+        if (m := re.match(r"stage(\d+)_block", p)):
+            return int(m.group(1)) + 1
+        return n - 1  # backbone out-norms: 'else' branch in the reference
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: jnp.float32(decay_rate ** (n - leaf_id(path) - 1)),
+        params)
+
+
+def create_seg_optimizer(lr: float, weight_decay: float, decay_scales=None):
     """AdamW betas (0.9, 0.999), wd on kernels only (the reference seg
     recipes' optimizer, upernet_convnext_tiny_...ss.py:36-40; the no-decay
-    set — norms/biases — matches its custom_keys paramwise_cfg intent)."""
+    set — norms/biases — matches its paramwise no_decay grouping). When
+    `decay_scales` is given, each update leaf is scaled AFTER the decayed
+    weights are added and BEFORE the LR — torch semantics, where the group
+    lr = lr_scale * base_lr multiplies adam term and weight decay alike."""
+    from ..optim.factory import _scale_by_leaf
 
     def decay_mask(p):
         return jax.tree.map(lambda x: x.ndim >= 2, p)
 
-    tx = optax.inject_hyperparams(
-        lambda learning_rate, weight_decay: optax.adamw(
-            learning_rate, b1=0.9, b2=0.999,
-            weight_decay=weight_decay, mask=decay_mask)
-    )(learning_rate=lr, weight_decay=weight_decay)
-    return tx
+    def builder(learning_rate, weight_decay):
+        chain = [
+            optax.scale_by_adam(b1=0.9, b2=0.999),
+            optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        ]
+        if decay_scales is not None:
+            chain.append(_scale_by_leaf(decay_scales))
+        chain.append(optax.scale_by_learning_rate(learning_rate))
+        return optax.chain(*chain)
+
+    return optax.inject_hyperparams(builder)(
+        learning_rate=lr, weight_decay=weight_decay)
 
 
 def transfer_backbone(model, variables, classifier_ckpt: str):

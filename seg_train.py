@@ -35,7 +35,7 @@ from imageclassification_tpu.downstream.seg_data import (
     num_classes_from_masks, scan_pairs, train_batches, val_batches)
 from imageclassification_tpu.downstream.seg_engine import (
     build_seg_eval_step, build_seg_train_step, create_seg_optimizer,
-    miou_from_confusion, transfer_backbone)
+    miou_from_confusion, seg_decay_scales, transfer_backbone)
 from imageclassification_tpu.downstream.upernet import build_upernet
 from imageclassification_tpu.engine.state import TrainState
 from imageclassification_tpu.optim.schedules import poly_scheduler
@@ -103,7 +103,6 @@ def main(args):
 
     model, _ = build_upernet(args.config, num_classes,
                              half_precision=args.half_precision)
-    tx = create_seg_optimizer(lr, cfg.weight_decay)
 
     rng = jax.random.key(args.seed)
     variables = model.init(
@@ -111,6 +110,11 @@ def main(args):
         jnp.zeros((1, crop, crop, 3), jnp.float32), train=False)
     if args.pretrained_path:
         variables = transfer_backbone(model, variables, args.pretrained_path)
+    # the recipe's backbone LR decay (stage_wise 0.9 ss / layer_wise 22k —
+    # reference paramwise_cfg, upernet_convnext_tiny_...ss.py:41)
+    scales = seg_decay_scales(variables["params"], cfg.decay_type,
+                              cfg.layer_decay_rate, cfg.layer_decay_num_layers)
+    tx = create_seg_optimizer(lr, cfg.weight_decay, decay_scales=scales)
     state = TrainState(
         step=jnp.zeros([], jnp.int32),
         params=variables["params"],

@@ -128,6 +128,43 @@ def test_upernet_reference_param_count_and_shapes():
     assert cfg.crop_size == 512 and cfg.lr == 1e-4
 
 
+def test_seg_stage_wise_decay_scales():
+    """Exact reference constructor semantics (stage_wise,
+    layer_decay_optimizer_constructor.py:45-54,100): N = num_layers + 2;
+    stem/downsample -> id 0, stage i -> i+1, heads/out-norms -> N-1;
+    scale = rate^(N - id - 1)."""
+    from imageclassification_tpu.downstream.seg_engine import seg_decay_scales
+    from imageclassification_tpu.models import create_model
+
+    bb = create_model("convnext_atto", num_classes=0, features_only=True,
+                      out_indices=(0, 1, 2, 3))
+    m = UPerNet(backbone=bb, num_classes=3, channels=32)
+    v = jax.eval_shape(lambda: m.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 32, 32, 3)), train=False))
+    scales = seg_decay_scales(v["params"], "stage_wise", 0.9, num_layers=12)
+    n = 14
+    get = lambda *ks: float(__import__("functools").reduce(
+        lambda d, k: d[k], ks, scales))
+    np.testing.assert_allclose(get("backbone", "stem_conv", "kernel"),
+                               0.9 ** (n - 1))
+    np.testing.assert_allclose(
+        get("backbone", "downsample_conv1", "kernel"), 0.9 ** (n - 1))
+    np.testing.assert_allclose(
+        get("backbone", "stage0_block0", "Conv_0", "kernel"), 0.9 ** (n - 2))
+    np.testing.assert_allclose(
+        get("backbone", "stage3_block1", "Conv_0", "kernel"), 0.9 ** (n - 5))
+    # heads and backbone out-norms at full LR
+    np.testing.assert_allclose(get("decode_head", "conv_seg", "kernel"), 1.0)
+    np.testing.assert_allclose(get("backbone", "norm2", "scale"), 1.0)
+
+    # layer_wise delegates to the classification ConvNeXt map; heads stay 1.0
+    lw = seg_decay_scales(v["params"], "layer_wise", 0.9)
+    assert float(lw["decode_head"]["conv_seg"]["kernel"]) == 1.0
+    assert float(lw["backbone"]["stem_conv"]["kernel"]) < \
+        float(lw["backbone"]["stage3_block1"]["Conv_0"]["kernel"])
+
+
 def test_upernet_no_aux():
     from imageclassification_tpu.models import create_model
 
