@@ -134,6 +134,41 @@ def build_seg_eval_step(model, num_classes: int) -> Callable:
     return eval_step
 
 
+def slide_window_origins(size: int, crop: int, stride: int):
+    """mmseg slide-test window origins: i*stride clamped so the last window
+    sits flush with the edge (EncoderDecoder.slide_inference)."""
+    if size <= crop:
+        return [0]
+    n = -(-(size - crop) // stride) + 1  # ceil + 1
+    return sorted({min(i * stride, size - crop) for i in range(n)})
+
+
+def slide_inference(window_fn, image_u8, num_classes: int, crop: int,
+                    stride: int):
+    """Full-resolution logits for ONE image by sliding crop² windows at
+    `stride` and averaging overlapping logits (mmseg test_cfg mode='slide',
+    the reference ss recipes' eval: upernet_convnext_tiny_...ss.py:33 —
+    crop 512, stride 341). `window_fn(batch_u8) -> logits` is a jitted
+    whole-image forward at the fixed crop shape, so every window reuses one
+    compiled executable regardless of image size."""
+    import numpy as np
+
+    H, W = image_u8.shape[:2]
+    Hp, Wp = max(H, crop), max(W, crop)
+    img = np.zeros((Hp, Wp, 3), image_u8.dtype)
+    img[:H, :W] = image_u8
+    acc = np.zeros((Hp, Wp, num_classes), np.float32)
+    cnt = np.zeros((Hp, Wp, 1), np.float32)
+    wins = [(y, x) for y in slide_window_origins(Hp, crop, stride)
+            for x in slide_window_origins(Wp, crop, stride)]
+    batch = np.stack([img[y:y + crop, x:x + crop] for y, x in wins])
+    logits = np.asarray(window_fn(batch), np.float32)
+    for (y, x), l in zip(wins, logits):
+        acc[y:y + crop, x:x + crop] += l
+        cnt[y:y + crop, x:x + crop] += 1.0
+    return acc[:H, :W] / cnt[:H, :W]
+
+
 def seg_decay_scales(params, decay_type: str, decay_rate: float,
                      num_layers: int = 12):
     """Per-leaf LR scales for the UPerNet tree, matching the reference's

@@ -63,6 +63,11 @@ def get_args_parser():
     p.add_argument("--pretrained_path", type=str, default="",
                    help="classification checkpoint to seed the backbone")
     p.add_argument("--output_dir", type=str, default="train_seg/output")
+    p.add_argument("--eval_mode", type=str, default="whole",
+                   choices=["whole", "slide"],
+                   help="whole: squash-resize to crop (fast); slide: "
+                        "full-resolution crop×crop windows at the recipe "
+                        "stride (mmseg ss test_cfg, ...ss.py:33)")
     p.add_argument("--eval_interval", type=int, default=0,
                    help="0 = eval only at the end")
     p.add_argument("--save_ckpt_interval", type=int, default=0,
@@ -168,6 +173,8 @@ def main(args):
                   "num_classes": num_classes, "crop_size": crop}
 
     def evaluate(state):
+        if args.eval_mode == "slide":
+            return _evaluate_slide(state)
         conf = jnp.zeros((num_classes, num_classes), jnp.float32)
         for xs, ys in val_batches(val_pairs, crop, batch):
             pad = batch - xs.shape[0]
@@ -180,6 +187,42 @@ def main(args):
             conf = eval_step(state, xs, ys, conf)
         miou, iou, acc = miou_from_confusion(conf)
         return miou, iou, acc
+
+    @jax.jit
+    def _window_logits(state, windows_u8):
+        from imageclassification_tpu.downstream.seg_engine import _normalize
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        main, _ = model.apply(variables, _normalize(windows_u8), train=False)
+        return main
+
+    def _evaluate_slide(state):
+        # full-resolution windowed inference (one compile per distinct
+        # window count; constant for fixed-size val sets)
+        from PIL import Image
+
+        from imageclassification_tpu.downstream.seg_engine import (
+            slide_inference)
+
+        conf = np.zeros((num_classes, num_classes), np.float64)
+        for img_p, ann_p in val_pairs:
+            img = np.asarray(Image.open(img_p).convert("RGB"), np.uint8)
+            lab = np.asarray(Image.open(ann_p)).astype(np.int64)
+            # recipe stride 341 for crop 512; scale with a crop override so
+            # stride <= crop always holds (mmseg asserts the same)
+            stride = max(1, round(cfg.eval_stride * crop / cfg.crop_size))
+            logits = slide_inference(
+                lambda w: _window_logits(state, jnp.asarray(w)),
+                img, num_classes, crop, stride)
+            pred = logits.argmax(-1)
+            valid = lab != 255
+            idx = lab[valid] * num_classes + pred[valid]
+            conf += np.bincount(
+                idx.ravel(), minlength=num_classes * num_classes
+            ).reshape(num_classes, num_classes)
+        return miou_from_confusion(conf)
 
     step_rng = jax.random.key(args.seed + 1)
     t0 = time.time()

@@ -165,6 +165,40 @@ def test_seg_stage_wise_decay_scales():
         float(lw["backbone"]["stage3_block1"]["Conv_0"]["kernel"])
 
 
+def test_slide_window_origins_and_inference():
+    from imageclassification_tpu.downstream.seg_engine import (
+        slide_inference, slide_window_origins)
+
+    # mmseg origin law: i*stride clamped flush to the edge
+    assert slide_window_origins(512, 512, 341) == [0]
+    assert slide_window_origins(1024, 512, 341) == [0, 341, 512]
+    assert slide_window_origins(100, 64, 48) == [0, 36]
+    assert slide_window_origins(32, 64, 48) == [0]
+
+    # a linear "model" makes average-of-overlaps exactly computable
+    rng = np.random.default_rng(5)
+    C, crop, stride = 3, 8, 5
+    w = rng.normal(size=(3, C)).astype(np.float32)
+
+    def window_fn(batch_u8):
+        return batch_u8.astype(np.float32) @ w
+
+    img = rng.integers(0, 255, (13, 17, 3), dtype=np.uint8)
+    got = slide_inference(window_fn, img, C, crop, stride)
+    assert got.shape == (13, 17, C)
+    # the model is pointwise-linear, so averaging overlapping windows must
+    # reproduce the whole-image application exactly (zero-padding cancels:
+    # padded rows are sliced off before the return)
+    want = img.astype(np.float32) @ w
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # crop-sized image: slide == single whole window
+    img2 = rng.integers(0, 255, (crop, crop, 3), dtype=np.uint8)
+    np.testing.assert_allclose(
+        slide_inference(window_fn, img2, C, crop, stride),
+        img2.astype(np.float32) @ w, rtol=1e-5, atol=1e-4)
+
+
 def test_upernet_no_aux():
     from imageclassification_tpu.models import create_model
 
@@ -306,6 +340,18 @@ def test_seg_cli_end_to_end(tmp_path):
     ck6 = load_checkpoint(str(out / "checkpoint-iter6.pth"))
     assert int(ck6["step"]) == 6
     assert 0.0 <= row2["miou"] <= 1.0
+
+    # slide eval (mmseg ss test_cfg): resumes at 6/6 (no training) and
+    # evaluates full-resolution 40x40 images with 32x32 windows
+    args3 = seg_train.get_args_parser().parse_args([
+        "--data_path", str(tmp_path),
+        "--config", "upernet_convnext_tiny_512_160k",
+        "--crop_size", "32", "--batch_size", "4", "--total_iters", "6",
+        "--warmup_iters", "2", "--eval_mode", "slide",
+        "--output_dir", str(out),
+    ])
+    row3 = seg_train.main(args3)
+    assert 0.0 <= row3["miou"] <= 1.0 and 0.0 <= row3["aacc"] <= 1.0
 
 
 def test_backbone_transfer_from_classifier(tmp_path):
