@@ -79,9 +79,14 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    import shutil
+
     import seg_train
 
     data = build_seg_digits(args.data_root)
+    # fresh workdir: a stale checkpoint-iterN.pth would auto-resume and the
+    # "trained" receipt would record the old model with ~zero wall clock
+    shutil.rmtree("/tmp/seg_digits_run", ignore_errors=True)
     out = Path("/tmp/seg_digits_run/train_seg/output")
     sargs = seg_train.get_args_parser().parse_args([
         "--data_path", data,

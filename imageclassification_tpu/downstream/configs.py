@@ -44,17 +44,17 @@ class SegmentationConfig:
     backbone: str
     drop_path_rate: float
     crop_size: int                    # 512 or 640
-    lr: float                         # AdamW (tiny ss:38)
+    lr: float                         # AdamW (tiny ss:37; xlarge ss: 8e-5)
     weight_decay: float = 0.05
-    decay_type: str = "stage_wise"    # 'stage_wise' | 'layer_wise' (":41")
+    decay_type: str = "stage_wise"    # every ss config uses stage_wise (":39")
     layer_decay_rate: float = 0.9
-    layer_decay_num_layers: int = 12
-    total_iters: int = 160_000        # IterBasedRunnerAmp (":46")
-    warmup_iters: int = 1500          # poly warmup (":43-45")
+    layer_decay_num_layers: int = 12  # paramwise num_layers (tiny: 6, ":40")
+    total_iters: int = 160_000        # IterBasedRunnerAmp (":52")
+    warmup_iters: int = 1500          # poly warmup (":42-46")
     power: float = 1.0
     min_lr: float = 0.0
     batch_per_host: int = 16          # 2 img/GPU × 8 (":49")
-    eval_stride: int = 341            # slide test (":33")
+    eval_stride: int = 341            # slide test (":33"; 426 for 640 crops)
     aux_head: bool = True             # FCN aux head (base model :10-49)
     pretrained: Optional[str] = None
 
@@ -79,21 +79,26 @@ DETECTION_CONFIGS = {
         layer_decay_rate=0.8),
 }
 
-# reference per-size tables (semantic_segmentation/README.md:18-23 rows)
+# reference per-size tables, every field read off the vendored ss configs
+# (semantic_segmentation/configs/convnext/upernet_convnext_*_ss.py: crop_size,
+# drop_path_rate, test_cfg stride, optimizer lr/paramwise_cfg). All use
+# stage_wise decay 0.9; tiny alone sets paramwise num_layers=6; lr is 1e-4
+# except xlarge's 8e-5; 640-crop configs slide-test at stride 426.
 SEGMENTATION_CONFIGS = {
     "upernet_convnext_tiny_512_160k": SegmentationConfig(
-        backbone="convnext_tiny", drop_path_rate=0.4, crop_size=512, lr=1e-4),
+        backbone="convnext_tiny", drop_path_rate=0.4, crop_size=512, lr=1e-4,
+        layer_decay_num_layers=6),
     "upernet_convnext_small_512_160k": SegmentationConfig(
         backbone="convnext_small", drop_path_rate=0.3, crop_size=512, lr=1e-4),
     "upernet_convnext_base_512_160k": SegmentationConfig(
         backbone="convnext_base", drop_path_rate=0.4, crop_size=512, lr=1e-4),
     "upernet_convnext_base_22k_640_160k": SegmentationConfig(
-        backbone="convnext_base", drop_path_rate=0.4, crop_size=640, lr=3e-5,
-        decay_type="layer_wise"),
+        backbone="convnext_base", drop_path_rate=0.4, crop_size=640, lr=1e-4,
+        eval_stride=426),
     "upernet_convnext_large_22k_640_160k": SegmentationConfig(
-        backbone="convnext_large", drop_path_rate=0.4, crop_size=640, lr=3e-5,
-        decay_type="layer_wise"),
+        backbone="convnext_large", drop_path_rate=0.4, crop_size=640, lr=1e-4,
+        eval_stride=426),
     "upernet_convnext_xlarge_22k_640_160k": SegmentationConfig(
-        backbone="convnext_xlarge", drop_path_rate=0.5, crop_size=640, lr=3e-5,
-        decay_type="layer_wise"),
+        backbone="convnext_xlarge", drop_path_rate=0.4, crop_size=640, lr=8e-5,
+        eval_stride=426),
 }

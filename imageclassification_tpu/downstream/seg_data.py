@@ -56,11 +56,14 @@ def scan_pairs(root: str, split: str) -> List[Tuple[str, str]]:
     return pairs
 
 
-def num_classes_from_masks(pairs, sample: int = 64) -> int:
-    """max class id + 1 over (a sample of) the masks, ignoring 255 — the
-    segmentation analogue of the classifier's folder-count auto-num_classes."""
+def num_classes_from_masks(pairs, sample: int = 0) -> int:
+    """max class id + 1 over ALL masks (255 ignored) — the segmentation
+    analogue of the classifier's folder-count auto-num_classes. A sampled
+    scan would silently drop any class absent from the sample, so the full
+    pass is the default; `sample>0` bounds it for callers that know their
+    label space is dense at the front."""
     hi = 0
-    for _, ann in pairs[:sample]:
+    for _, ann in (pairs[:sample] if sample else pairs):
         a = np.asarray(Image.open(ann))
         a = a[a != IGNORE]
         if a.size:
@@ -76,29 +79,92 @@ def _load(img_path: str, ann_path: str):
     return img, ann
 
 
+def photometric_distortion(x: np.ndarray, rng: np.random.Generator,
+                           brightness: int = 32,
+                           contrast=(0.5, 1.5), saturation=(0.5, 1.5),
+                           hue_delta: int = 18) -> np.ndarray:
+    """mmseg PhotoMetricDistortion (mmseg/datasets/pipelines/transforms.py):
+    brightness ±32 → [contrast-first|contrast-last mode] → saturation
+    U(0.5,1.5) → hue ±18° — each applied with probability 1/2. Hue/saturation
+    act in HSV; PIL's HSV hue lives on a 0-255 wheel vs cv2's 0-180, so the
+    delta is rescaled."""
+    x = x.astype(np.float32)
+
+    def maybe_brightness(x):
+        if rng.integers(2):
+            x = x + rng.uniform(-brightness, brightness)
+        return x
+
+    def maybe_contrast(x):
+        if rng.integers(2):
+            x = x * rng.uniform(*contrast)
+        return x
+
+    def maybe_hsv(x):
+        do_sat, do_hue = rng.integers(2), rng.integers(2)
+        if not (do_sat or do_hue):
+            return x
+        hsv = np.asarray(Image.fromarray(
+            np.clip(x, 0, 255).astype(np.uint8)).convert("HSV"), np.float32)
+        if do_sat:
+            hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(*saturation),
+                                  0, 255)
+        if do_hue:
+            d = rng.uniform(-hue_delta, hue_delta) * (256.0 / 180.0)
+            hsv[..., 0] = (hsv[..., 0] + d) % 256
+        return np.asarray(Image.fromarray(
+            hsv.astype(np.uint8), "HSV").convert("RGB"), np.float32)
+
+    x = maybe_brightness(x)
+    contrast_last = rng.integers(2) == 0  # mmseg mode: 1 = contrast first
+    if not contrast_last:
+        x = maybe_contrast(x)
+    x = maybe_hsv(x)
+    if contrast_last:
+        x = maybe_contrast(x)
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
 def train_sample(img_path: str, ann_path: str, crop: int,
-                 rng: np.random.Generator):
-    """One augmented training crop: ratio resize U(0.5, 2.0) → pad (img 0,
-    mask IGNORE) → random crop → hflip 0.5. Returns (u8 HWC, int32 HW)."""
+                 rng: np.random.Generator, max_long: int = 2048,
+                 cat_max_ratio: float = 0.75):
+    """One augmented training sample, following the upstream mmseg ADE
+    pipeline the reference recipes train with (the vendored snapshot omits
+    the datasets base config — this is mmseg's configs/_base_/datasets/
+    ade20k.py): Resize img_scale=(2048, crop) with ratio U(0.5, 2.0) and
+    keep_ratio (factor = min(2048r/long, crop·r/short)) → RandomCrop with
+    cat_max_ratio 0.75 (10 attempts) → hflip 0.5 → PhotoMetricDistortion →
+    pad to crop² (img 0, mask IGNORE). Returns (u8 HWC, int32 HW)."""
     img, ann = _load(img_path, ann_path)
     ratio = rng.uniform(0.5, 2.0)
-    w = max(1, int(round(img.width * ratio)))
-    h = max(1, int(round(img.height * ratio)))
+    long_s, short_s = max(img.size), min(img.size)
+    factor = min(max_long * ratio / long_s, crop * ratio / short_s)
+    w = max(1, int(img.width * factor + 0.5))
+    h = max(1, int(img.height * factor + 0.5))
     img = img.resize((w, h), Image.BILINEAR)
     ann = ann.resize((w, h), Image.NEAREST)
     x = np.asarray(img, np.uint8)
     y = np.asarray(ann).astype(np.int32)
-    if h < crop or w < crop:
-        px, py = max(0, crop - w), max(0, crop - h)
-        x = np.pad(x, ((0, py), (0, px), (0, 0)))
-        y = np.pad(y, ((0, py), (0, px)), constant_values=IGNORE)
-        h, w = x.shape[:2]
-    r0 = rng.integers(0, h - crop + 1)
-    c0 = rng.integers(0, w - crop + 1)
-    x = x[r0:r0 + crop, c0:c0 + crop]
-    y = y[r0:r0 + crop, c0:c0 + crop]
+
+    ch, cw = min(h, crop), min(w, crop)
+    for _ in range(10):  # mmseg RandomCrop cat_max_ratio retry
+        r0 = rng.integers(0, h - ch + 1)
+        c0 = rng.integers(0, w - cw + 1)
+        yc = y[r0:r0 + ch, c0:c0 + cw]
+        ids, cnt = np.unique(yc, return_counts=True)
+        cnt = cnt[ids != IGNORE]
+        if len(cnt) > 1 and cnt.max() / cnt.sum() < cat_max_ratio:
+            break
+    x = x[r0:r0 + ch, c0:c0 + cw]
+    y = y[r0:r0 + ch, c0:c0 + cw]
+
     if rng.random() < 0.5:
         x, y = x[:, ::-1], y[:, ::-1]
+    x = photometric_distortion(np.ascontiguousarray(x), rng)
+    if ch < crop or cw < crop:
+        x = np.pad(x, ((0, crop - ch), (0, crop - cw), (0, 0)))
+        y = np.pad(y, ((0, crop - ch), (0, crop - cw)),
+                   constant_values=IGNORE)
     return np.ascontiguousarray(x), np.ascontiguousarray(y)
 
 
@@ -112,17 +178,28 @@ def val_sample(img_path: str, ann_path: str, size: int):
 
 
 def train_batches(pairs, crop: int, batch: int, iters: int, seed: int = 0,
-                  start: int = 0):
+                  start: int = 0, rank: int = 0, world: int = 1):
     """Yields (iteration, images, labels) for iterations [start, iters).
     Each iteration derives its own generator from (seed, iteration), so a
     resumed run sees exactly the batches the original would have — no RNG
     stream to fast-forward (the classification loader's counter-based
-    randomness rule, SURVEY §7)."""
+    randomness rule, SURVEY §7).
+
+    `batch` is GLOBAL: every process draws the same global index vector from
+    the shared (seed, it) key and takes its disjoint rank slice, so
+    make_global_batch assembles the intended global batch (the sampler's
+    rank-sharding contract, data/sampler.py) — per-sample augmentation keys
+    fold in the global sample position, keeping augmentations identical no
+    matter how many hosts run."""
     n = len(pairs)
+    local = batch // world
     for it in range(start, iters):
         rng = np.random.default_rng([seed, it])
-        idx = rng.integers(0, n, batch)
-        xs, ys = zip(*(train_sample(*pairs[i], crop, rng) for i in idx))
+        idx = rng.integers(0, n, batch)[rank * local:(rank + 1) * local]
+        out = [train_sample(*pairs[i], crop,
+                            np.random.default_rng([seed, it, rank * local + k]))
+               for k, i in enumerate(idx)]
+        xs, ys = zip(*out)
         yield it, np.stack(xs), np.stack(ys)
 
 

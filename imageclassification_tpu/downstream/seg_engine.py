@@ -56,11 +56,15 @@ def seg_loss(main_logits, aux_logits, labels, aux_weight: float = 0.4):
 
 
 def confusion_update(conf, logits, labels, num_classes: int):
-    """conf[c_true, c_pred] += count, ignoring 255 — a one-hot einsum
-    contraction (scatter-adds serialize on TPU)."""
+    """conf[c_true, c_pred] += count — a one-hot einsum contraction
+    (scatter-adds serialize on TPU). Ignores 255 AND any label outside
+    [0, num_classes): out-of-range ids must not corrupt in-range rows.
+    Accumulate at most ~2^24 pixels per float32 `conf` before draining to a
+    wider host accumulator (build_seg_eval_step returns per-batch counts for
+    exactly this reason)."""
     preds = jnp.argmax(logits, axis=-1).reshape(-1)
     lab = labels.reshape(-1)
-    valid = (lab != IGNORE_INDEX)
+    valid = (lab != IGNORE_INDEX) & (lab >= 0) & (lab < num_classes)
     lab = jnp.where(valid, lab, 0).astype(jnp.int32)
     t = jax.nn.one_hot(lab, num_classes, dtype=jnp.float32) * valid[:, None]
     p = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
@@ -121,15 +125,21 @@ def build_seg_train_step(model, tx, lr_schedule, weight_decay: float,
 
 
 def build_seg_eval_step(model, num_classes: int) -> Callable:
-    """eval_step(state, images_u8, labels, conf) -> conf (donated accumulator)."""
+    """eval_step(state, images_u8, labels) -> this batch's [C, C] confusion
+    counts (float32 on device; one batch is far below the 2^24 f32 integer
+    ceiling). The caller accumulates into float64 host-side — full-dataset
+    pixel counts overflow f32 (a 2000-image 512² val set has 5e8 pixels)
+    and TPUs don't enable f64."""
 
-    def eval_step(state: TrainState, images_u8, labels, conf):
+    def eval_step(state: TrainState, images_u8, labels):
         images = _normalize(images_u8)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         main, _ = model.apply(variables, images, train=False)
-        return confusion_update(conf, main, labels, num_classes)
+        return confusion_update(
+            jnp.zeros((num_classes, num_classes), jnp.float32),
+            main, labels, num_classes)
 
     return eval_step
 
@@ -144,13 +154,15 @@ def slide_window_origins(size: int, crop: int, stride: int):
 
 
 def slide_inference(window_fn, image_u8, num_classes: int, crop: int,
-                    stride: int):
+                    stride: int, window_batch: int = 8):
     """Full-resolution logits for ONE image by sliding crop² windows at
     `stride` and averaging overlapping logits (mmseg test_cfg mode='slide',
     the reference ss recipes' eval: upernet_convnext_tiny_...ss.py:33 —
-    crop 512, stride 341). `window_fn(batch_u8) -> logits` is a jitted
-    whole-image forward at the fixed crop shape, so every window reuses one
-    compiled executable regardless of image size."""
+    crop 512, stride 341; 426 for the 640 recipes). Windows are chunked into
+    fixed `window_batch`-sized calls (tail zero-padded), so `window_fn` is
+    traced for exactly ONE shape no matter how image sizes vary across the
+    val set — variable-shaped calls would recompile per distinct window
+    count."""
     import numpy as np
 
     H, W = image_u8.shape[:2]
@@ -161,11 +173,15 @@ def slide_inference(window_fn, image_u8, num_classes: int, crop: int,
     cnt = np.zeros((Hp, Wp, 1), np.float32)
     wins = [(y, x) for y in slide_window_origins(Hp, crop, stride)
             for x in slide_window_origins(Wp, crop, stride)]
-    batch = np.stack([img[y:y + crop, x:x + crop] for y, x in wins])
-    logits = np.asarray(window_fn(batch), np.float32)
-    for (y, x), l in zip(wins, logits):
-        acc[y:y + crop, x:x + crop] += l
-        cnt[y:y + crop, x:x + crop] += 1.0
+    for i in range(0, len(wins), window_batch):
+        chunk = wins[i:i + window_batch]
+        batch = np.zeros((window_batch, crop, crop, 3), image_u8.dtype)
+        for j, (y, x) in enumerate(chunk):
+            batch[j] = img[y:y + crop, x:x + crop]
+        logits = np.asarray(window_fn(batch), np.float32)
+        for (y, x), l in zip(chunk, logits):
+            acc[y:y + crop, x:x + crop] += l
+            cnt[y:y + crop, x:x + crop] += 1.0
     return acc[:H, :W] / cnt[:H, :W]
 
 

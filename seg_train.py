@@ -115,8 +115,9 @@ def main(args):
         jnp.zeros((1, crop, crop, 3), jnp.float32), train=False)
     if args.pretrained_path:
         variables = transfer_backbone(model, variables, args.pretrained_path)
-    # the recipe's backbone LR decay (stage_wise 0.9 ss / layer_wise 22k —
-    # reference paramwise_cfg, upernet_convnext_tiny_...ss.py:41)
+    # the recipe's backbone LR decay (stage_wise 0.9 everywhere; tiny uses
+    # paramwise num_layers 6, the rest 12 — reference
+    # upernet_convnext_*_ss.py optimizer paramwise_cfg)
     scales = seg_decay_scales(variables["params"], cfg.decay_type,
                               cfg.layer_decay_rate, cfg.layer_decay_num_layers)
     tx = create_seg_optimizer(lr, cfg.weight_decay, decay_scales=scales)
@@ -126,12 +127,13 @@ def main(args):
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
     )
-    state = shard_params(mesh, state)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"UPerNet({cfg.backbone}): {n_params / 1e6:.1f}M params")
 
     # auto-resume from the highest checkpoint-iter{N}.pth (the classification
-    # CLI's auto_load_model semantics, iteration-based)
+    # CLI's auto_load_model semantics, iteration-based). Load BEFORE
+    # shard_params, like train.py — loading replaces leaves with host arrays,
+    # so sharding must come after.
     start_iter = 0
     latest = _find_latest_iter_ckpt(args.output_dir)
     if latest is not None:
@@ -154,6 +156,7 @@ def main(args):
                 opt_state=opt,
                 step=jnp.asarray(ck.get("step", start_iter), jnp.int32))
             print("With optim & sched!")
+    state = shard_params(mesh, state)
 
     lr_values = poly_scheduler(lr, total_iters, power=cfg.power,
                                min_value=cfg.min_lr, warmup_iters=warmup)
@@ -161,8 +164,7 @@ def main(args):
         build_seg_train_step(model, tx, lr_values, cfg.weight_decay),
         donate_argnums=(0,),
     )
-    eval_step = jax.jit(build_seg_eval_step(model, num_classes),
-                        donate_argnums=(3,))
+    eval_step = jax.jit(build_seg_eval_step(model, num_classes))
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -175,7 +177,9 @@ def main(args):
     def evaluate(state):
         if args.eval_mode == "slide":
             return _evaluate_slide(state)
-        conf = jnp.zeros((num_classes, num_classes), jnp.float32)
+        # device returns per-batch f32 counts; accumulate in f64 on host —
+        # full-dataset pixel counts exceed f32's 2^24 integer ceiling
+        conf = np.zeros((num_classes, num_classes), np.float64)
         for xs, ys in val_batches(val_pairs, crop, batch):
             pad = batch - xs.shape[0]
             if pad:  # static batch shape: pad and mark padded rows ignore
@@ -184,7 +188,7 @@ def main(args):
                                                  ys.dtype)])
             xs = make_global_batch(mesh, xs)
             ys = make_global_batch(mesh, ys)
-            conf = eval_step(state, xs, ys, conf)
+            conf += np.asarray(eval_step(state, xs, ys), np.float64)
         miou, iou, acc = miou_from_confusion(conf)
         return miou, iou, acc
 
@@ -217,7 +221,9 @@ def main(args):
                 lambda w: _window_logits(state, jnp.asarray(w)),
                 img, num_classes, crop, stride)
             pred = logits.argmax(-1)
-            valid = lab != 255
+            # same validity rule as confusion_update: 255 AND any id
+            # outside [0, num_classes) are excluded, not crashed on
+            valid = (lab != 255) & (lab >= 0) & (lab < num_classes)
             idx = lab[valid] * num_classes + pred[valid]
             conf += np.bincount(
                 idx.ravel(), minlength=num_classes * num_classes
@@ -229,7 +235,9 @@ def main(args):
     best_miou = -1.0
     loss_avg, n_since = 0.0, 0
     for it, xs, ys in train_batches(train_pairs, crop, batch, total_iters,
-                                    args.seed, start=start_iter):
+                                    args.seed, start=start_iter,
+                                    rank=jax.process_index(),
+                                    world=jax.process_count()):
         xs = make_global_batch(mesh, xs)
         ys = make_global_batch(mesh, ys)
         state, loss = train_step(state, xs, ys,
@@ -257,6 +265,7 @@ def main(args):
             from imageclassification_tpu.checkpoint.io import save_model
             save_model(save_args, (1, crop, crop, 3), f"iter{it + 1}", state,
                        num_classes, model_spec)
+            _prune_iter_ckpts(args.output_dir, keep=save_args.save_ckpt_num)
 
     miou, iou, acc = evaluate(state)
     if miou > best_miou:
@@ -289,6 +298,29 @@ def _find_latest_iter_ckpt(output_dir):
         if m and (best is None or int(m.group(1)) > best[1]):
             best = (p, int(m.group(1)))
     return best
+
+
+def _prune_iter_ckpts(output_dir, keep: int):
+    """Rolling retention for iteration checkpoints: the classification
+    writer's deletion rule only parses integer epoch names
+    (checkpoint/io.py:160-166), so 'iterN' files need their own pruning —
+    without it a 160k-iter run accumulates hundreds of ~0.7 GB files."""
+    import glob
+    import re
+
+    from imageclassification_tpu.checkpoint.io import (is_main_process,
+                                                       wait_for_pending_saves)
+
+    if not is_main_process():
+        return
+    wait_for_pending_saves()
+    found = []
+    for p in glob.glob(os.path.join(output_dir, "checkpoint-iter*.pth")):
+        m = re.fullmatch(r"checkpoint-iter(\d+)\.pth", os.path.basename(p))
+        if m:
+            found.append((int(m.group(1)), p))
+    for _, p in sorted(found)[:-keep] if keep > 0 else []:
+        os.remove(p)
 
 
 def _save_best(miou, state, save_args, crop, num_classes, model_spec):
