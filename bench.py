@@ -216,9 +216,34 @@ def time_dispatch(step_fn, fresh_state, data, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
+def _probe_device(timeout_s: int = 600) -> None:
+    """Fail fast-and-loud if the accelerator is unreachable. The tunneled
+    chip's claim can wedge indefinitely (a killed mid-claim client leaves
+    the relay-side grant stuck); a bounded probe in a subprocess turns an
+    infinite hang into a diagnosable nonzero exit with NO JSON line, so the
+    driver records a failed bench instead of a bogus number or a timeout."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('DEVICE_OK')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if "DEVICE_OK" in r.stdout:
+            return
+        err = r.stdout[-500:] + r.stderr[-500:]
+    except subprocess.TimeoutExpired:
+        err = f"device claim did not complete within {timeout_s}s (relay wedge?)"
+    print(f"bench.py: accelerator unreachable — {err}", file=sys.stderr)
+    raise SystemExit(2)
+
+
 def main():
     import jax
 
+    _probe_device()
     cache_dir = os.path.expanduser("~/.cache/imgcls_tpu_xla")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
