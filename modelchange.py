@@ -293,7 +293,15 @@ if __name__ == "__main__":
                    choices=["global", "per_kernel"])
     p.add_argument("--model_ema", default=False, action="store_true")
     p.add_argument("--out", default=None)
+    p.add_argument("--device", default="tpu", choices=["tpu", "cpu"],
+                   help="cpu pins the platform at the config level "
+                        "(JAX_PLATFORMS env alone cannot once the TPU "
+                        "plugin is registered)")
     a = p.parse_args()
+    if a.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if a.mode == "ema2model":
         convert_model_ema_to_model(a.ckpt, a.out)
     elif a.mode == "quantize":

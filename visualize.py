@@ -393,6 +393,12 @@ if __name__ == "__main__":
     p.add_argument("--out_dir", default="train_cls/visualize")
     p.add_argument("--model_ema", default=False,
                    type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
+    p.add_argument("--device", default="tpu", choices=["tpu", "cpu"],
+                   help="cpu pins the platform at the config level "
+                        "(JAX_PLATFORMS env alone cannot once the TPU "
+                        "plugin is registered)")
     a = p.parse_args()
+    if a.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     {"summary": run_summary, "gradcam": run_gradcam,
      "features": run_features}[a.mode](a)
