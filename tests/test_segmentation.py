@@ -423,6 +423,43 @@ def test_seg_cli_end_to_end(tmp_path):
     assert 0.0 <= row3["miou"] <= 1.0 and 0.0 <= row3["aacc"] <= 1.0
 
 
+def test_fpn_neck_shapes_and_extra_level():
+    """mmdet FPN parity (the reference detection neck dict,
+    mask_rcnn_convnext_fpn.py:22-26): 256ch at every level, strides
+    4/8/16/32 preserved, P6 = kernel-1 stride-2 max-pool (pure subsample)
+    of P5."""
+    from imageclassification_tpu.downstream.fpn import FPN
+
+    rng = np.random.default_rng(6)
+    feats = [jnp.asarray(rng.normal(size=(2, 32 // s, 32 // s, c)),
+                         jnp.float32)
+             for s, c in [(1, 40), (2, 80), (4, 160), (8, 320)]]
+    fpn = FPN(out_channels=64, num_outs=5)
+    v = fpn.init(jax.random.key(0), feats)
+    outs = fpn.apply(v, feats)
+    assert len(outs) == 5
+    assert [o.shape for o in outs] == [
+        (2, 32, 32, 64), (2, 16, 16, 64), (2, 8, 8, 64), (2, 4, 4, 64),
+        (2, 2, 2, 64)]
+    # P6 is exactly P5 subsampled at even positions (kernel-1 pool)
+    np.testing.assert_array_equal(np.asarray(outs[4]),
+                                  np.asarray(outs[3])[:, ::2, ::2])
+
+
+def test_detection_backbone_neck_runs():
+    from imageclassification_tpu.downstream.fpn import (
+        build_detection_backbone)
+
+    bb, fpn, cfg = build_detection_backbone("mask_rcnn_convnext_tiny_3x")
+    assert cfg.detector == "mask_rcnn" and cfg.layer_decay_rate == 0.7
+    variables = bb.init(jax.random.key(0), (1, 64, 64, 3))
+    feats = bb.apply(variables, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    fv = fpn.init(jax.random.key(1), feats)
+    outs = fpn.apply(fv, feats)
+    assert len(outs) == 5 and all(o.shape[-1] == 256 for o in outs)
+    assert outs[0].shape[1] == 16  # stride 4 on a 64px input
+
+
 def test_backbone_transfer_from_classifier(tmp_path):
     """transfer_backbone seeds UPerNet's encoder from a classification
     checkpoint (reference init_cfg path, backbone/convnext.py:110-138)."""
