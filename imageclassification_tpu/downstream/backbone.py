@@ -24,7 +24,10 @@ from ..models import create_model
 
 
 class ConvNeXtBackbone:
-    """Functional pyramid-feature extractor around a registry ConvNeXt."""
+    """Functional pyramid-feature extractor around a registry model with
+    `features_only` (ConvNeXt — the reference's downstream backbone — or
+    Swin, beyond reference: both expose per-stage-normed NHWC maps at
+    strides 4/8/16/32)."""
 
     def __init__(
         self,
@@ -50,7 +53,11 @@ class ConvNeXtBackbone:
 
     @property
     def feature_channels(self) -> Sequence[int]:
-        dims = self.model.dims
+        if hasattr(self.model, "dims"):         # ConvNeXt-style dim table
+            dims = list(self.model.dims)
+        else:                                   # Swin: embed_dim * 2^stage
+            n = len(self.model.depths)
+            dims = [self.model.embed_dim * 2 ** i for i in range(n)]
         return [dims[i] for i in self.out_indices]
 
     def init(self, rng, input_shape=(1, 224, 224, 3)):

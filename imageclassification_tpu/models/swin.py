@@ -24,7 +24,7 @@ an exact error instead of crashing mid-stage.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Any, Sequence
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -223,6 +223,8 @@ class SwinTransformer(nn.Module):
     num_classes: int = 1000
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    features_only: bool = False       # multi-scale NHWC maps, strides 4-32
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -237,6 +239,7 @@ class SwinTransformer(nn.Module):
                          name="patch_norm")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
         rates = drop_path_rates(self.drop_path_rate, self.depths)
+        features = []
         for s, depth in enumerate(self.depths):
             dim = self.embed_dim * 2 ** s
             if s > 0:
@@ -249,6 +252,15 @@ class SwinTransformer(nn.Module):
                     drop_rate=self.drop_rate, drop_path=rates[s][b],
                     dtype=self.dtype, name=f"stage{s}_block{b}",
                 )(x, train=train)
+            if self.features_only and s in self.out_indices:
+                # per-stage out norms, the downstream-backbone convention
+                # (mmseg/mmdet Swin registers norm{i} per out index — same
+                # pattern as the ConvNeXt backbone's norm{i})
+                features.append(
+                    nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name=f"norm{s}")(x))
+        if self.features_only:
+            return features
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = x.mean(axis=(1, 2))
         x = nn.Dense(self.num_classes, dtype=jnp.float32,
@@ -258,11 +270,13 @@ class SwinTransformer(nn.Module):
 
 def _make(dim, depths, heads):
     def ctor(num_classes=1000, dtype=jnp.float32, drop_path_rate=0.0,
-             drop_rate=0.0, **kw):
+             drop_rate=0.0, features_only=False, out_indices=(0, 1, 2, 3),
+             **kw):
         return SwinTransformer(
             embed_dim=dim, depths=depths, num_heads=heads,
             num_classes=num_classes, drop_rate=drop_rate,
-            drop_path_rate=drop_path_rate, dtype=dtype,
+            drop_path_rate=drop_path_rate, features_only=features_only,
+            out_indices=tuple(out_indices), dtype=dtype,
         )
     return ctor
 

@@ -423,6 +423,38 @@ def test_seg_cli_end_to_end(tmp_path):
     assert 0.0 <= row3["miou"] <= 1.0 and 0.0 <= row3["aacc"] <= 1.0
 
 
+def test_swin_pyramid_backbone_and_upernet():
+    """Beyond reference: Swin exposes the same features_only pyramid as
+    ConvNeXt (per-stage out-norms, strides 4-32), so it slots under the
+    downstream adapters and UPerNet directly."""
+    from imageclassification_tpu.downstream.backbone import ConvNeXtBackbone
+    from imageclassification_tpu.models import create_model
+
+    bb = ConvNeXtBackbone(variant="swin_tiny", half_precision=False)
+    assert bb.feature_channels == [96, 192, 384, 768]
+    assert bb.feature_strides == [4, 8, 16, 32]
+
+    sw = create_model("swin_tiny", num_classes=0, features_only=True,
+                      out_indices=(0, 1, 2, 3))
+    v = jax.eval_shape(lambda: sw.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 224, 224, 3)), train=False))
+    feats = jax.eval_shape(
+        lambda: sw.apply(
+            {"params": jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                    v["params"])},
+            jnp.zeros((2, 224, 224, 3)), train=False))
+    assert [f.shape for f in feats] == [
+        (2, 56, 56, 96), (2, 28, 28, 192), (2, 14, 14, 384),
+        (2, 7, 7, 768)]
+    # UPerNet accepts the swin pyramid (aux head reads feats[2])
+    m = UPerNet(backbone=sw, num_classes=5, channels=64)
+    out = jax.eval_shape(lambda: m.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 224, 224, 3)), train=False))
+    assert "decode_head" in out["params"] and "backbone" in out["params"]
+
+
 def test_fpn_neck_shapes_and_extra_level():
     """mmdet FPN parity (the reference detection neck dict,
     mask_rcnn_convnext_fpn.py:22-26): 256ch at every level, strides
