@@ -169,6 +169,10 @@ def main(args):
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     log_path = out_dir.parent / "log.txt"
+    from imageclassification_tpu.parallel.dist import is_main_process
+    from imageclassification_tpu.utils.loggers import TensorboardLogger
+    tb = (TensorboardLogger(str(out_dir.parent / "log_dir"))
+          if is_main_process() else None)
     save_args = SimpleNamespace(output_dir=str(out_dir), model_ema=False,
                                 save_ckpt_num=3, save_ckpt_freq=1)
     model_spec = {"task": "segmentation", "config": args.config,
@@ -249,11 +253,18 @@ def main(args):
             print(f"iter {it + 1}/{total_iters} loss {loss_avg / n_since:.4f} "
                   f"lr {lr_values[min(it, len(lr_values) - 1)]:.2e} "
                   f"({(time.time() - t0) / (it + 1 - start_iter):.2f}s/iter)")
+            if tb is not None:
+                tb.update(head="loss", step=it + 1,
+                          loss=loss_avg / n_since)
+                tb.update(head="opt", step=it + 1,
+                          lr=float(lr_values[min(it, len(lr_values) - 1)]))
             loss_avg, n_since = 0.0, 0
         if args.eval_interval and ((it + 1) % args.eval_interval == 0) \
                 and not last:
             miou, _, acc = evaluate(state)
             print(f"iter {it + 1}: mIoU {miou * 100:.2f} aAcc {acc * 100:.2f}")
+            if tb is not None:
+                tb.update(head="perf", step=it + 1, miou=miou, aacc=acc)
             if miou > best_miou:
                 _save_best(miou, state, save_args, crop, num_classes,
                            model_spec)
@@ -277,6 +288,9 @@ def main(args):
            "wall_clock_s": round(time.time() - t0, 1), **per_class}
     print(f"final: mIoU {miou * 100:.2f} aAcc {acc * 100:.2f} "
           f"(best {best_miou * 100:.2f})")
+    if tb is not None:
+        tb.update(head="perf", step=total_iters, miou=miou, aacc=acc)
+        tb.flush()
     with open(log_path, "a") as f:
         f.write(json.dumps(row) + "\n")
     from imageclassification_tpu.checkpoint.io import (save_model,
