@@ -64,10 +64,12 @@ def get_args_parser():
                    help="classification checkpoint to seed the backbone")
     p.add_argument("--output_dir", type=str, default="train_seg/output")
     p.add_argument("--eval_mode", type=str, default="whole",
-                   choices=["whole", "slide"],
+                   choices=["whole", "slide", "ms"],
                    help="whole: squash-resize to crop (fast); slide: "
                         "full-resolution crop×crop windows at the recipe "
-                        "stride (mmseg ss test_cfg, ...ss.py:33)")
+                        "stride (mmseg ss test_cfg, ...ss.py:33); ms: slide "
+                        "at 6 scales × hflip with softmax averaging (the "
+                        "reference *_ms configs' --aug-test protocol)")
     p.add_argument("--eval_interval", type=int, default=0,
                    help="0 = eval only at the end")
     p.add_argument("--save_ckpt_interval", type=int, default=0,
@@ -179,8 +181,8 @@ def main(args):
                   "num_classes": num_classes, "crop_size": crop}
 
     def evaluate(state):
-        if args.eval_mode == "slide":
-            return _evaluate_slide(state)
+        if args.eval_mode in ("slide", "ms"):
+            return _evaluate_slide(state, ms=args.eval_mode == "ms")
         # device returns per-batch f32 counts; accumulate in f64 on host —
         # full-dataset pixel counts exceed f32's 2^24 integer ceiling
         conf = np.zeros((num_classes, num_classes), np.float64)
@@ -206,25 +208,48 @@ def main(args):
         main, _ = model.apply(variables, _normalize(windows_u8), train=False)
         return main
 
-    def _evaluate_slide(state):
-        # full-resolution windowed inference (one compile per distinct
-        # window count; constant for fixed-size val sets)
+    def _evaluate_slide(state, ms: bool = False):
+        # full-resolution windowed inference; ms averages SOFTMAX probs over
+        # 6 scales × hflip (mmseg MultiScaleFlipAug img_ratios + aug_test
+        # averaging — the reference *_ms configs defer exactly this to the
+        # external harness's --aug-test, semantic_segmentation/README.md:49)
         from PIL import Image
 
         from imageclassification_tpu.downstream.seg_engine import (
             slide_inference)
 
+        ratios = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75) if ms else (1.0,)
+        flips = (False, True) if ms else (False,)
+        # recipe stride 341 for crop 512; scale with a crop override so
+        # stride <= crop always holds (mmseg asserts the same)
+        stride = max(1, round(cfg.eval_stride * crop / cfg.crop_size))
+        window_fn = lambda w: _window_logits(state, jnp.asarray(w))
         conf = np.zeros((num_classes, num_classes), np.float64)
         for img_p, ann_p in val_pairs:
-            img = np.asarray(Image.open(img_p).convert("RGB"), np.uint8)
+            pil = Image.open(img_p).convert("RGB")
             lab = np.asarray(Image.open(ann_p)).astype(np.int64)
-            # recipe stride 341 for crop 512; scale with a crop override so
-            # stride <= crop always holds (mmseg asserts the same)
-            stride = max(1, round(cfg.eval_stride * crop / cfg.crop_size))
-            logits = slide_inference(
-                lambda w: _window_logits(state, jnp.asarray(w)),
-                img, num_classes, crop, stride)
-            pred = logits.argmax(-1)
+            H, W = lab.shape[:2]
+            prob = np.zeros((H, W, num_classes), np.float64)
+            for r in ratios:
+                im = pil if r == 1.0 else pil.resize(
+                    (max(1, round(pil.width * r)),
+                     max(1, round(pil.height * r))), Image.BILINEAR)
+                arr = np.asarray(im, np.uint8)
+                for flip in flips:
+                    a = arr[:, ::-1] if flip else arr
+                    logits = slide_inference(window_fn, np.ascontiguousarray(a),
+                                             num_classes, crop, stride)
+                    if flip:
+                        logits = logits[:, ::-1]
+                    e = np.exp(logits - logits.max(-1, keepdims=True))
+                    p = e / e.sum(-1, keepdims=True)
+                    if p.shape[:2] != (H, W):  # back to label resolution
+                        p = np.stack([
+                            np.asarray(Image.fromarray(p[..., c]).resize(
+                                (W, H), Image.BILINEAR))
+                            for c in range(num_classes)], axis=-1)
+                    prob += p
+            pred = prob.argmax(-1)
             # same validity rule as confusion_update: 255 AND any id
             # outside [0, num_classes) are excluded, not crashed on
             valid = (lab != 255) & (lab >= 0) & (lab < num_classes)

@@ -422,6 +422,18 @@ def test_seg_cli_end_to_end(tmp_path):
     row3 = seg_train.main(args3)
     assert 0.0 <= row3["miou"] <= 1.0 and 0.0 <= row3["aacc"] <= 1.0
 
+    # ms eval (6 scales x hflip, softmax-averaged — the *_ms protocol):
+    # resumes at 6/6 again, evaluates only
+    args4 = seg_train.get_args_parser().parse_args([
+        "--data_path", str(tmp_path),
+        "--config", "upernet_convnext_tiny_512_160k",
+        "--crop_size", "32", "--batch_size", "4", "--total_iters", "6",
+        "--warmup_iters", "2", "--eval_mode", "ms",
+        "--output_dir", str(out),
+    ])
+    row4 = seg_train.main(args4)
+    assert 0.0 <= row4["miou"] <= 1.0 and 0.0 <= row4["aacc"] <= 1.0
+
 
 def test_swin_pyramid_backbone_and_upernet():
     """Beyond reference: Swin exposes the same features_only pyramid as
