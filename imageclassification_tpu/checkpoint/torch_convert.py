@@ -366,6 +366,15 @@ def convert_mobilenetv3(sd: Flat, model_name: str) -> Tuple[Flat, Flat]:
     the walk mirrors torchvision's layer-append order."""
     from ..models.mobilenetv3 import _LARGE, _SMALL
 
+    if "features.0.0.weight" not in sd:
+        hint = ("timm-layout (conv_stem.*/blocks.*)"
+                if any(k.startswith(("conv_stem", "blocks.")) for k in sd)
+                else "unrecognized-layout")
+        raise ValueError(
+            f"convert_mobilenetv3 supports torchvision-layout state_dicts "
+            f"only (features.N.block... keys); got a {hint} state_dict. "
+            f"Export from torchvision.models.mobilenet_v3_* instead."
+        )
     cfgs = _SMALL if "small" in model_name else _LARGE
     params: Flat = {}
     stats: Flat = {}

@@ -48,6 +48,20 @@ def _relative_position_index(w: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _relative_position_onehot(w: int) -> np.ndarray:
+    """[w⁴, (2w-1)²] one-hot of _relative_position_index: the bias lookup
+    becomes `onehot @ table` (a [2401,169]×[169,h] matmul) instead of a
+    gather. Identical values; the win is the BACKWARD — a gather's VJP is a
+    scatter-add, which the TPU serializes row by row (the same pathology
+    that motivated the one-hot per-class metric einsums, engine/step.py),
+    while the matmul's VJP is `onehotᵀ @ grad`, one dense MXU op."""
+    idx = _relative_position_index(w).reshape(-1)
+    onehot = np.zeros((idx.size, (2 * w - 1) ** 2), np.float32)
+    onehot[np.arange(idx.size), idx] = 1.0
+    return onehot
+
+
+@lru_cache(maxsize=None)
 def _shift_attn_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
     """[nW, w², w²] additive mask (-100 across region boundaries) for
     shifted-window attention. Static per feature-map geometry."""
@@ -108,15 +122,23 @@ class WindowAttention(nn.Module):
             truncated_normal_init(),
             ((2 * self.window - 1) ** 2, self.num_heads),
         )
-        idx = _relative_position_index(self.window)        # static numpy
-        bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
-        attn = attn + bias.astype(attn.dtype)[None]
+        # one-hot matmul instead of table[idx] gather: same values, dense
+        # matmul backward instead of a serialized scatter-add (see
+        # _relative_position_onehot). [N², 169] @ [169, h] → [h, N, N].
+        onehot = jnp.asarray(_relative_position_onehot(self.window),
+                             attn.dtype)
+        bias = (onehot @ table.astype(attn.dtype)).reshape(N, N, h)
+        bias = bias.transpose(2, 0, 1)                     # [h, N, N] (tiny)
 
         if mask is not None:                               # [nW, N, N] static
+            # fold bias and mask into ONE broadcast add over the big attn
+            # tensor (two separate adds each re-stream B_·h·N² elements)
             nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, h, N, N) + \
-                jnp.asarray(mask, attn.dtype)[None, :, None]
+            combined = bias[None] + jnp.asarray(mask, attn.dtype)[:, None]
+            attn = attn.reshape(B_ // nW, nW, h, N, N) + combined[None]
             attn = attn.reshape(B_, h, N, N)
+        else:
+            attn = attn + bias[None]
         attn = jax.nn.softmax(attn, axis=-1)
         y = jnp.einsum("bhnm,bhmk->bhnk", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(B_, N, C)

@@ -151,12 +151,15 @@ def main(args):
             bs, _ = load_params_with_pruning(
                 state.batch_stats, ck["batch_stats"], verbose=False)
             state = state.replace(batch_stats=bs)
+        # restore step unconditionally: the data loop resumes at start_iter,
+        # and a step left at 0 would silently restart the poly LR schedule
+        # from warmup mid-run even when the optimizer state couldn't load
+        state = state.replace(
+            step=jnp.asarray(ck.get("step", start_iter), jnp.int32))
         if missing == 0 and "optimizer" in ck:
             opt, _ = load_params_with_pruning(
                 state.opt_state, ck["optimizer"], verbose=False)
-            state = state.replace(
-                opt_state=opt,
-                step=jnp.asarray(ck.get("step", start_iter), jnp.int32))
+            state = state.replace(opt_state=opt)
             print("With optim & sched!")
     state = shard_params(mesh, state)
 
@@ -184,14 +187,33 @@ def main(args):
         if args.eval_mode in ("slide", "ms"):
             return _evaluate_slide(state, ms=args.eval_mode == "ms")
         # device returns per-batch f32 counts; accumulate in f64 on host —
-        # full-dataset pixel counts exceed f32's 2^24 integer ceiling
+        # full-dataset pixel counts exceed f32's 2^24 integer ceiling.
+        # `batch` is GLOBAL (train_batches contract): each process evaluates
+        # its rank-strided shard of val_pairs and contributes batch/world
+        # rows per step, so make_global_batch assembles a batch-sized global
+        # array with no duplicated images; every process runs the same
+        # number of steps (stragglers feed all-ignore pad batches) so the
+        # collective never deadlocks.
+        import math
+
+        world, rank = jax.process_count(), jax.process_index()
+        local_batch = max(1, batch // world)
+        local_pairs = val_pairs[rank::world]
+        n_steps = math.ceil(math.ceil(len(val_pairs) / world) / local_batch)
+        batches = val_batches(local_pairs, crop, batch=local_batch)
         conf = np.zeros((num_classes, num_classes), np.float64)
-        for xs, ys in val_batches(val_pairs, crop, batch):
-            pad = batch - xs.shape[0]
+        for _ in range(n_steps):
+            try:
+                xs, ys = next(batches)
+            except StopIteration:
+                xs = np.zeros((0, crop, crop, 3), np.uint8)
+                ys = np.zeros((0, crop, crop), np.int32)
+            pad = local_batch - xs.shape[0]
             if pad:  # static batch shape: pad and mark padded rows ignore
-                xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:], xs.dtype)])
-                ys = np.concatenate([ys, np.full((pad,) + ys.shape[1:], 255,
-                                                 ys.dtype)])
+                xs = np.concatenate(
+                    [xs, np.zeros((pad, crop, crop, 3), np.uint8)])
+                ys = np.concatenate(
+                    [ys, np.full((pad, crop, crop), 255, np.int32)])
             xs = make_global_batch(mesh, xs)
             ys = make_global_batch(mesh, ys)
             conf += np.asarray(eval_step(state, xs, ys), np.float64)

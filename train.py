@@ -245,9 +245,14 @@ def main(args: TrainConfig):
         # val.py); eval-mode forward runs inside the jit step, stop-gradient
         from val import initialize_model as init_teacher
 
+        # dequantize=True: _teacher_logits runs a plain model.apply with no
+        # int8 interceptor, so an int8-quantized teacher checkpoint must be
+        # restored to float kernels here (raw -127..127 values would silently
+        # corrupt the KD soft targets)
         t_model, t_params, t_stats, t_nc = init_teacher(
             args.teacher_path, model_ema=False,
             half_precision=(args.use_amp or args.half_precision),
+            dequantize=True,
         )
         if t_nc != num_classes:
             raise ValueError(
