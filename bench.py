@@ -386,6 +386,13 @@ def main():
             rev = ""
         if os.environ.get("BENCH_FRESH") and os.path.exists(out):
             os.remove(out)  # drop rows for renamed/removed models
+        flops_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "model_flops.json")
+        try:
+            with open(flops_path) as f:
+                model_flops = json.load(f)
+        except Exception:
+            model_flops = {}
         for name in os.environ["BENCH_MODELS"].split(","):
             name = name.strip()
             step_fn, fresh_state, data = _build(batch, model_name=name)
@@ -399,6 +406,14 @@ def main():
                 # resets the file entirely)
                 "code_rev": rev,
             }
+            if name in model_flops:
+                # XLA-cost-analysis fwd FLOPs (benchmarks/model_flops.py) x
+                # 4 forwards-equivalent: fwd + dgrad + wgrad + the exact-mode
+                # parity metric forward the default step runs
+                g = model_flops[name]["fwd_gflops_per_img"]
+                row["train_mfu"] = round(
+                    (batch / per) * 4 * g * 1e9 / V5E_BF16_PEAK, 4
+                )
             print(name, row, flush=True)
             # merge-and-write per model so families can be re-benched
             # incrementally and a crash loses nothing — this file is the
