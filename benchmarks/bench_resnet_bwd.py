@@ -37,10 +37,11 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-B = 128
+B = int(os.environ.get("RN_B", "128"))
 V5E_BF16_PEAK = 197e12
 V5E_HBM_BW = 819e9
-K_LO, K_HI = 8, 40
+K_LO = int(os.environ.get("RN_K_LO", "8"))
+K_HI = int(os.environ.get("RN_K_HI", "40"))
 
 # (H, filters, in_ch, n_blocks) — in-stage (non-downsample) geometry, 224²
 STAGES = [(56, 64, 256, 3), (28, 128, 512, 4), (14, 256, 1024, 6),

@@ -32,7 +32,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 B = int(os.environ.get("SWIN_B", "128"))
-K_LO, K_HI = 8, 40
+K_LO = int(os.environ.get("SWIN_K_LO", "8"))
+K_HI = int(os.environ.get("SWIN_K_HI", "40"))
 V5E_BF16_PEAK = 197e12
 V5E_HBM_BW = 819e9
 

@@ -30,7 +30,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-B = 128
+B = int(os.environ.get("VIT_B", "128"))
 N = 197          # 14² + cls
 C = 768
 HEADS, HD = 12, 64
@@ -38,7 +38,8 @@ MLP = 3072
 DEPTH = 12
 V5E_BF16_PEAK = 197e12
 V5E_HBM_BW = 819e9
-K_LO, K_HI = 8, 40
+K_LO = int(os.environ.get("VIT_K_LO", "8"))
+K_HI = int(os.environ.get("VIT_K_HI", "40"))
 
 
 def _scan_time(body, carry0, label):
@@ -142,17 +143,17 @@ def main():
     rows = {}
     # the matmul census of one encoder layer (fwd counts; train = fwd+bwd
     # here, metric forward handled by the ×(3+1)/3 workload factor below)
-    rows["qkv"] = time_matmul(T, C, 3 * C, "qkv [25216,768,2304]")
-    rows["attn_dots"] = time_attn_dots("attn dots+softmax [128,12,197,197]")
-    rows["proj"] = time_matmul(T, C, C, "proj [25216,768,768]")
-    rows["mlp_up"] = time_matmul(T, C, MLP, "mlp_up [25216,768,3072]")
-    rows["mlp_down"] = time_matmul(T, MLP, C, "mlp_down [25216,3072,768]")
+    rows["qkv"] = time_matmul(T, C, 3 * C, f"qkv [{T},{C},{3 * C}]")
+    rows["attn_dots"] = time_attn_dots(f"attn dots+softmax [{B},{HEADS},{N},{N}]")
+    rows["proj"] = time_matmul(T, C, C, f"proj [{T},{C},{C}]")
+    rows["mlp_up"] = time_matmul(T, C, MLP, f"mlp_up [{T},{C},{MLP}]")
+    rows["mlp_down"] = time_matmul(T, MLP, C, f"mlp_down [{T},{MLP},{C}]")
 
     per_layer_fwdbwd = sum(rows[k]["ms"] for k in
                            ("qkv", "attn_dots", "proj", "mlp_up", "mlp_down"))
     # patch embed (conv as matmul [128·196, 16·16·3]x[768]) + head: small
     rows["patch_embed"] = time_matmul(B * 196, 768, C,
-                                      "patch_embed [25088,768,768]")
+                                      f"patch_embed [{B * 196},768,{C}]")
 
     # non-matmul minimum traffic per layer, bf16, write+read per produced
     # tensor (LN x2, GELU, softmax in attn_dots already, residual adds x2):
