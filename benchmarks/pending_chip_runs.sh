@@ -66,7 +66,8 @@ else
 fi
 python "$HERE/record_digits_rows.py" --device "${C5EMA_DEVICE:-tpu}" --commit \
   --run "c5_rasampler_digits_ema_matched=/tmp/digits_c5ema" --model resnet18 \
-  --recipe "scratch, RASampler, EMA decay 0.99 (horizon-matched: ~69-update half-life vs ~260 updates), rand-m9 + reprob 0.25 + mixup/cutmix, input 64, seed 88"
+  --recipe "scratch, RASampler, EMA decay 0.99 (horizon-matched: ~69-update half-life vs ~260 updates), rand-m9 + reprob 0.25 + mixup/cutmix, input 64, seed 88" \
+  --note "horizon-matched rerun of c5_rasampler_digits: decay 0.99 has a ~69-update half-life, so over this run's ~260 real updates only 0.99^260 = 7% of the init weights remain in the EMA (vs 88% at decay 0.9995) - the r2 'EMA within 2 pts of raw' bar applies here"
 
 # 5. Swin decomposition + ViT bound + ResNet bwd bound (receipt instruments)
 BENCH_MODEL=swin_tiny python "$HERE/profile_trace.py"

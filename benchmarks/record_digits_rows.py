@@ -81,6 +81,8 @@ def main() -> None:
                     help="model name per --run, in order")
     ap.add_argument("--recipe", default=DEFAULT_RECIPE)
     ap.add_argument("--device", default="tpu")
+    ap.add_argument("--note", default=None,
+                    help="free-text annotation stored as the row's ema_note")
     ap.add_argument("--commit", action="store_true")
     args = ap.parse_args()
 
@@ -89,8 +91,11 @@ def main() -> None:
     for i, spec in enumerate(args.run):
         config, _, run_dir = spec.partition("=")
         model = models[i] if i < len(models) else None
-        rows.append(row_from_run(config, Path(run_dir), model,
-                                 args.recipe, args.device))
+        row = row_from_run(config, Path(run_dir), model,
+                           args.recipe, args.device)
+        if args.note:
+            row["ema_note"] = args.note
+        rows.append(row)
         print(json.dumps(rows[-1], indent=1))
     upsert(rows)
     print(f"recorded {len(rows)} row(s) -> {RESULTS}")
