@@ -231,17 +231,22 @@ def _probe_device(timeout_s: int = 600, attempts: int = 3) -> str | None:
     import sys
     import tempfile
 
+    # the child writes marker+'.tmp' then os.rename()s it into place — the
+    # parent can never read a half-written status (atomic on POSIX)
     code = (
-        "import sys\n"
+        "import os, sys\n"
+        "def put(msg):\n"
+        "    open(sys.argv[1] + '.tmp', 'w').write(msg)\n"
+        "    os.rename(sys.argv[1] + '.tmp', sys.argv[1])\n"
         "try:\n"
         "    import jax; jax.devices()\n"
-        "    open(sys.argv[1], 'w').write('DEVICE_OK')\n"
+        "    put('DEVICE_OK')\n"
         "except Exception as e:\n"
-        "    open(sys.argv[1], 'w').write('ERROR: %r' % (e,))\n"
+        "    put('ERROR: %r' % (e,))\n"
     )
     reason = "unknown"
     for attempt in range(attempts):
-        marker = tempfile.mktemp(prefix="bench_probe_")
+        marker = os.path.join(tempfile.mkdtemp(prefix="bench_probe_"), "status")
         with open("/dev/null", "w") as devnull:
             proc = subprocess.Popen(
                 [sys.executable, "-c", code, marker],
@@ -310,29 +315,46 @@ def _resilient_main() -> None:
     if reason is not None:
         _stale_fallback(reason)
         return
-    inner_budget = int(os.environ.get("BENCH_INNER_TIMEOUT", "1800"))
+    # The inner measurement is NEVER killed: it makes its own device claim
+    # (a successful probe does not transfer its grant), and round-4 claims
+    # took 6-55 min — killing a mid-claim client wedges the relay for every
+    # later claimant (the exact failure _probe_device is designed around).
+    # Same pattern as the probe: Popen + poll with a bounded budget; on
+    # timeout the child is left running and we fall back to the stale
+    # number. No retry after a timeout (a second claimant would only queue
+    # behind the first); fast failures (rc!=0) are retried once.
+    import tempfile
+
+    inner_budget = int(os.environ.get("BENCH_INNER_TIMEOUT", "3600"))
     env = dict(os.environ, BENCH_INNER="1")
     for attempt in (1, 2):
-        try:
-            r = subprocess.run(
+        outpath = os.path.join(tempfile.mkdtemp(prefix="bench_inner_"), "out")
+        with open(outpath, "w") as outf:
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True,
-                timeout=inner_budget,
+                env=env, stdout=outf, stderr=subprocess.STDOUT, text=True,
             )
-        except subprocess.TimeoutExpired:
-            # the inner process got PAST the claim (probe succeeded), so a
-            # kill here is mid-compute, not mid-claim — bounded loss
-            reason = f"measurement exceeded {inner_budget}s (attempt {attempt})"
-            continue
-        sys.stderr.write(r.stderr[-2000:])
-        line = next((ln for ln in reversed(r.stdout.splitlines())
-                     if ln.startswith("{")), None)
-        if r.returncode == 0 and line is not None:
-            for ln in r.stdout.splitlines():
-                print(ln)
+        deadline = time.time() + inner_budget
+        while time.time() < deadline and proc.poll() is None:
+            time.sleep(5)
+        if proc.poll() is None:
+            # leave the child running — it may be mid-claim
+            _stale_fallback(
+                f"measurement exceeded {inner_budget}s — child left "
+                "running (never killed mid-claim), no retry"
+            )
             return
-        reason = (f"measurement rc={r.returncode} (attempt {attempt}): "
-                  f"{(r.stdout + r.stderr)[-300:]}")
+        out = open(outpath).read()
+        line = next((ln for ln in reversed(out.splitlines())
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line is not None:
+            # child stdout+stderr are merged in the capture file: keep the
+            # driver-parsed stdout clean by routing non-JSON lines to stderr
+            for ln in out.splitlines():
+                print(ln, file=sys.stdout if ln.startswith("{") else sys.stderr)
+            return
+        reason = (f"measurement rc={proc.returncode} (attempt {attempt}): "
+                  f"{out[-300:]}")
     _stale_fallback(reason)
 
 
@@ -406,10 +428,16 @@ def main():
                 # resets the file entirely)
                 "code_rev": rev,
             }
-            if name in model_flops:
+            bench_size = int(os.environ.get("BENCH_SIZE", "224"))
+            if (name in model_flops and bench_size == 224
+                    and model_flops[name].get("input_size", 224) == 224):
                 # XLA-cost-analysis fwd FLOPs (benchmarks/model_flops.py) x
                 # 4 forwards-equivalent: fwd + dgrad + wgrad + the exact-mode
-                # parity metric forward the default step runs
+                # parity metric forward the default step runs. Guarded to
+                # 224² like the sweep/headline MFU: model_flops.json's
+                # per-image GFLOPs are 224²-specific, so a BENCH_SIZE
+                # override must not record a silently wrong MFU into the
+                # single source of truth for published per-family numbers.
                 g = model_flops[name]["fwd_gflops_per_img"]
                 row["train_mfu"] = round(
                     (batch / per) * 4 * g * 1e9 / V5E_BF16_PEAK, 4

@@ -102,11 +102,13 @@ def main() -> None:
 
     if args.commit:
         cfgs = ", ".join(r["config"] for r in rows)
-        subprocess.run(["git", "-C", str(REPO), "add",
-                        str(RESULTS.relative_to(REPO))], check=True)
+        # explicit pathspec: the self-recording queue may fire while
+        # unrelated files are staged — only the results file belongs in
+        # this receipt commit
         subprocess.run(
             ["git", "-C", str(REPO), "commit", "-m",
-             f"Record convergence receipts: {cfgs}"],
+             f"Record convergence receipts: {cfgs}",
+             "--", str(RESULTS.relative_to(REPO))],
             check=True,
         )
 

@@ -44,6 +44,13 @@ class TrainConfig:
     # ---- EMA (reference train.py:45; decay hardcoded 0.9995 at train.py:201) ----
     model_ema: bool = False
     model_ema_decay: float = 0.9995
+    # Decay warmup (timm ModelEmaV3's use_warmup semantics — the reference
+    # leaves it off, train.py:201): effective decay at real update t is
+    # min(decay, (1+t)/(10+t)), the TF/Adam-style debiasing ramp. Removes the
+    # init-weight contamination that otherwise makes EMA lag raw accuracy by
+    # ~1/(1-decay) updates on short-horizon runs (see benchmarks/results.json
+    # c5_rasampler_digits forensics). Off by default for reference parity.
+    model_ema_warmup: bool = False
 
     # ---- optimization (reference train.py:48-57) ----
     opt: str = "adamw"

@@ -30,7 +30,7 @@ import optax
 
 from ..data.augment import AugmentPipeline, eval_preprocess
 from ..data.mixup import MixupConfig, mixup_cutmix, one_hot_smooth
-from ..optim.ema import ema_update
+from ..optim.ema import ema_update, warmup_decay
 from ..optim.factory import needs_hessian, set_hyperparams
 from .state import TrainState
 
@@ -86,6 +86,7 @@ def build_train_step(
     smoothing = float(args.smoothing)
     clip_grad = args.clip_grad
     use_ema = bool(args.model_ema)
+    ema_warmup = bool(getattr(args, "model_ema_warmup", False))
     use_hessian = needs_hessian(getattr(args, "opt", ""))
     lr_schedule = jnp.asarray(lr_schedule, jnp.float32)
     wd_schedule = jnp.asarray(wd_schedule, jnp.float32)
@@ -261,10 +262,15 @@ def build_train_step(
                 )
             if use_ema:
                 # timm ModelEmaV3 EMAs the full state_dict — params AND BN
-                # running statistics (train.py:201 + timm semantics)
-                ema = ema_update(ema, new_params, ema_decay)
+                # running statistics (train.py:201 + timm semantics). With
+                # --model_ema_warmup the decay ramps in over the first real
+                # updates (ModelEmaV3 use_warmup), eliminating init-weight
+                # contamination on short-horizon runs.
+                d_eff = (warmup_decay(ema_decay, step // update_freq)
+                         if ema_warmup else ema_decay)
+                ema = ema_update(ema, new_params, d_eff)
                 if ema_bs is not None:
-                    ema_bs = ema_update(ema_bs, new_stats, ema_decay)
+                    ema_bs = ema_update(ema_bs, new_stats, d_eff)
             return (new_params, new_opt,
                     jax.tree.map(jnp.zeros_like, accum), ema, ema_bs)
 

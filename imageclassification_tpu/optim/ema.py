@@ -26,9 +26,20 @@ def init_ema(params):
     return jax.tree.map(jnp.copy, params)
 
 
+def warmup_decay(decay, n_updates):
+    """Effective decay under warmup (timm ModelEmaV3 use_warmup semantics):
+    min(decay, (1+t)/(10+t)) at real update t — the TF ExponentialMovingAverage
+    / Adam debiasing ramp. Early updates use a small decay, so the EMA forgets
+    the init weights immediately instead of carrying them for ~1/(1-decay)
+    updates (the mean lag of a constant-decay EMA). `n_updates` may be traced."""
+    t = jnp.asarray(n_updates, jnp.float32)
+    return jnp.minimum(jnp.asarray(decay, jnp.float32), (1.0 + t) / (10.0 + t))
+
+
 def ema_update(ema_params, params, decay, do_update=True):
     """ema ← d·ema + (1−d)·p, gated by `do_update` (a traced bool is fine —
-    jnp.where keeps the step compile-once across the accumulation cadence)."""
+    jnp.where keeps the step compile-once across the accumulation cadence).
+    `decay` may be a traced scalar (warmup_decay output)."""
     d = jnp.asarray(decay, jnp.float32)
 
     def one(e, p):

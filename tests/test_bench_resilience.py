@@ -58,6 +58,24 @@ def test_resilient_main_falls_back_when_probe_fails(bench, capsys, monkeypatch):
     assert row["stale"] is True and row["value"] is not None
 
 
+class _FakeProc:
+    """Stands in for the never-killed inner measurement child: writes
+    `payload` to the stdout file immediately and exits with `rc` (rc=None
+    simulates a child that never finishes)."""
+
+    def __init__(self, payload: str, rc):
+        self._payload = payload
+        self.returncode = rc
+
+    def __call__(self, cmd, stdout=None, **kw):  # Popen signature
+        stdout.write(self._payload)
+        stdout.flush()
+        return self
+
+    def poll(self):
+        return self.returncode
+
+
 def test_resilient_main_passes_through_fresh_measurement(
     bench, capsys, monkeypatch
 ):
@@ -66,16 +84,15 @@ def test_resilient_main_passes_through_fresh_measurement(
         "metric": "resnet50_train_images_per_sec_per_chip",
         "value": 2222.0, "unit": "images/sec", "vs_baseline": 0.5,
     })
-
-    def fake_run(cmd, **kw):
-        return subprocess.CompletedProcess(cmd, 0, stdout=fresh + "\n", stderr="")
-
     # _resilient_main does a local `import subprocess`, so patch the module
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(subprocess, "Popen",
+                        _FakeProc("chip warmup noise\n" + fresh + "\n", 0))
     bench._resilient_main()
     row = _driver_line(capsys)
     assert row["value"] == 2222.0
     assert "stale" not in row
+    # non-JSON child lines must stay off the driver-parsed stdout
+    assert "warmup noise" not in capsys.readouterr().out
 
 
 def test_resilient_main_retries_then_falls_back_on_bad_rc(
@@ -83,17 +100,41 @@ def test_resilient_main_retries_then_falls_back_on_bad_rc(
 ):
     monkeypatch.setattr(bench, "_probe_device", lambda **kw: None)
     calls = []
+    proc = _FakeProc("boom\n", 3)
 
-    def fake_run(cmd, **kw):
+    def counting_popen(cmd, **kw):
         calls.append(cmd)
-        return subprocess.CompletedProcess(cmd, 3, stdout="", stderr="boom")
+        return proc(cmd, **kw)
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(subprocess, "Popen", counting_popen)
     bench._resilient_main()
     row = _driver_line(capsys)
     assert len(calls) == 2  # one retry
     assert row["stale"] is True
     assert "rc=3" in row["stale_reason"]
+
+
+def test_resilient_main_never_kills_a_hung_measurement(
+    bench, capsys, monkeypatch
+):
+    """A child that outlives the budget is LEFT RUNNING (killing a mid-claim
+    client wedges the relay — round-4 advisor medium finding) and the stale
+    fallback fires with no second claimant queued behind it."""
+    monkeypatch.setattr(bench, "_probe_device", lambda **kw: None)
+    monkeypatch.setenv("BENCH_INNER_TIMEOUT", "1")
+    calls = []
+    hung = _FakeProc("", None)  # poll() -> None forever
+
+    def counting_popen(cmd, **kw):
+        calls.append(cmd)
+        return hung(cmd, **kw)
+
+    monkeypatch.setattr(subprocess, "Popen", counting_popen)
+    bench._resilient_main()
+    row = _driver_line(capsys)
+    assert len(calls) == 1  # no retry after a timeout
+    assert row["stale"] is True
+    assert "never killed" in row["stale_reason"]
 
 
 def test_stale_fallback_survives_missing_sweep(bench, capsys, monkeypatch,
