@@ -144,6 +144,52 @@ def build_seg_eval_step(model, num_classes: int) -> Callable:
     return eval_step
 
 
+def sharded_whole_eval(eval_step, state, val_pairs, crop: int, batch: int,
+                       num_classes: int, mesh) -> "np.ndarray":
+    """Multi-process whole-image eval: rank-strided val shards, pad-batch
+    stragglers, f64 host accumulation. Returns the GLOBAL [C, C] confusion
+    matrix (identical on every process).
+
+    `batch` is GLOBAL (train_batches contract): each process evaluates its
+    rank-strided shard of val_pairs and contributes batch/world rows per
+    step, so make_global_batch assembles a batch-sized global array with no
+    duplicated images (the reference double-evaluates: every rank runs the
+    full val set, train.py:139 SequentialSampler + engine.py:199). Every
+    process runs the SAME number of steps — stragglers feed all-ignore pad
+    batches — so the collective never deadlocks. Device returns per-batch
+    f32 counts; accumulation is f64 on host because full-dataset pixel
+    counts exceed f32's 2^24 integer ceiling."""
+    import math
+
+    import numpy as np
+
+    from ..parallel.mesh import make_global_batch
+    from .seg_data import val_batches
+
+    world, rank = jax.process_count(), jax.process_index()
+    local_batch = max(1, batch // world)
+    local_pairs = val_pairs[rank::world]
+    n_steps = math.ceil(math.ceil(len(val_pairs) / world) / local_batch)
+    batches = val_batches(local_pairs, crop, batch=local_batch)
+    conf = np.zeros((num_classes, num_classes), np.float64)
+    for _ in range(n_steps):
+        try:
+            xs, ys = next(batches)
+        except StopIteration:
+            xs = np.zeros((0, crop, crop, 3), np.uint8)
+            ys = np.zeros((0, crop, crop), np.int32)
+        pad = local_batch - xs.shape[0]
+        if pad:  # static batch shape: pad and mark padded rows ignore
+            xs = np.concatenate(
+                [xs, np.zeros((pad, crop, crop, 3), np.uint8)])
+            ys = np.concatenate(
+                [ys, np.full((pad, crop, crop), 255, np.int32)])
+        xs = make_global_batch(mesh, xs)
+        ys = make_global_batch(mesh, ys)
+        conf += np.asarray(eval_step(state, xs, ys), np.float64)
+    return conf
+
+
 def slide_window_origins(size: int, crop: int, stride: int):
     """mmseg slide-test window origins: i*stride clamped so the last window
     sits flush with the edge (EncoderDecoder.slide_inference)."""

@@ -32,10 +32,11 @@ import numpy as np
 
 from imageclassification_tpu.downstream.configs import SEGMENTATION_CONFIGS
 from imageclassification_tpu.downstream.seg_data import (
-    num_classes_from_masks, scan_pairs, train_batches, val_batches)
+    num_classes_from_masks, scan_pairs, train_batches)
 from imageclassification_tpu.downstream.seg_engine import (
     build_seg_eval_step, build_seg_train_step, create_seg_optimizer,
-    miou_from_confusion, seg_decay_scales, transfer_backbone)
+    miou_from_confusion, seg_decay_scales, sharded_whole_eval,
+    transfer_backbone)
 from imageclassification_tpu.downstream.upernet import build_upernet
 from imageclassification_tpu.engine.state import TrainState
 from imageclassification_tpu.optim.schedules import poly_scheduler
@@ -186,37 +187,10 @@ def main(args):
     def evaluate(state):
         if args.eval_mode in ("slide", "ms"):
             return _evaluate_slide(state, ms=args.eval_mode == "ms")
-        # device returns per-batch f32 counts; accumulate in f64 on host —
-        # full-dataset pixel counts exceed f32's 2^24 integer ceiling.
-        # `batch` is GLOBAL (train_batches contract): each process evaluates
-        # its rank-strided shard of val_pairs and contributes batch/world
-        # rows per step, so make_global_batch assembles a batch-sized global
-        # array with no duplicated images; every process runs the same
-        # number of steps (stragglers feed all-ignore pad batches) so the
-        # collective never deadlocks.
-        import math
-
-        world, rank = jax.process_count(), jax.process_index()
-        local_batch = max(1, batch // world)
-        local_pairs = val_pairs[rank::world]
-        n_steps = math.ceil(math.ceil(len(val_pairs) / world) / local_batch)
-        batches = val_batches(local_pairs, crop, batch=local_batch)
-        conf = np.zeros((num_classes, num_classes), np.float64)
-        for _ in range(n_steps):
-            try:
-                xs, ys = next(batches)
-            except StopIteration:
-                xs = np.zeros((0, crop, crop, 3), np.uint8)
-                ys = np.zeros((0, crop, crop), np.int32)
-            pad = local_batch - xs.shape[0]
-            if pad:  # static batch shape: pad and mark padded rows ignore
-                xs = np.concatenate(
-                    [xs, np.zeros((pad, crop, crop, 3), np.uint8)])
-                ys = np.concatenate(
-                    [ys, np.full((pad, crop, crop), 255, np.int32)])
-            xs = make_global_batch(mesh, xs)
-            ys = make_global_batch(mesh, ys)
-            conf += np.asarray(eval_step(state, xs, ys), np.float64)
+        # module-level so the 2-process test exercises the exact production
+        # path (rank-strided shards, pad-batch stragglers, f64 accumulation)
+        conf = sharded_whole_eval(eval_step, state, val_pairs, crop, batch,
+                                  num_classes, mesh)
         miou, iou, acc = miou_from_confusion(conf)
         return miou, iou, acc
 
