@@ -133,7 +133,12 @@ def main():
         out = Path(a.out)
         report = json.loads(out.read_text()) if out.exists() else {}
         reason = probe_reference(a.reference)
+        stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds")
         report["probed_at"] = datetime.date.today().isoformat()
+        # full timestamps, one per probe: same-day rounds stay distinguishable
+        report.setdefault("probe_history", []).append(
+            {"at": stamp, "available": reason is None})
         if reason is None:
             report.setdefault("reference", {}).pop("unavailable", None)
             print("reference deps NOW AVAILABLE — rerun without "
