@@ -12,6 +12,21 @@ set -x
 HERE="$(cd "$(dirname "$0")" && pwd)"
 REPO="$HERE/.."
 
+# Single-runner guard: several independent chip watchers may all detect
+# recovery near-simultaneously; only the first may run the queue (a second
+# concurrent run would contend for the chip and double-commit receipts).
+# flock is held for the lifetime of this shell; the marker makes a finished
+# queue visible to watchers so they can stand down.
+if [ -f /tmp/pending_chip_runs.done ]; then
+  echo "queue already completed ($(cat /tmp/pending_chip_runs.done)) — exiting"
+  exit 0
+fi
+exec 9>/tmp/pending_chip_runs.lock
+if ! flock -n 9; then
+  echo "another queue run holds the lock — exiting"
+  exit 0
+fi
+
 commit_receipt() {  # commit_receipt <message> <file...> — skips missing files
   local msg="$1"; shift
   local staged=0
@@ -114,4 +129,8 @@ BENCH_MODELS=swin_tiny python "$REPO/bench.py" && \
   commit_receipt "Rebench swin_tiny per-family row on chip" \
     benchmarks/bench_models.json
 
+# mark complete only after every step ran — a partial run (chip died
+# mid-queue) leaves no marker so a later watcher retries; the completed
+# training steps are grep-guarded and skip themselves on the rerun
+echo "$(date -u)" > /tmp/pending_chip_runs.done
 echo PENDING_CHIP_RUNS_DONE
