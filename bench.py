@@ -274,6 +274,18 @@ def _probe_device(timeout_s: int = 600, attempts: int = 3) -> str | None:
     return f"probe failed after {attempts} attempts — {reason}"
 
 
+def _git_rev() -> str:
+    try:
+        import subprocess
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        return ""
+
+
 def _stale_fallback(reason: str) -> None:
     """Emit the last committed chip-measured number with stale=true so the
     driver's perf series never has a hole (round-3's rc=2 made a full round
@@ -293,9 +305,12 @@ def _stale_fallback(reason: str) -> None:
                               "benchmarks", "bench_sweep.json")
     try:
         with open(sweep_path) as f:
-            row = json.load(f)["batch128_exact"]
+            sweep = json.load(f)
+        row = sweep["batch128_exact"]
         out["value"] = row["images_per_sec"]
         out["vs_baseline"] = round(row["images_per_sec"] / TARGET_IMG_S, 4)
+        if "_meta" in sweep:  # when was the stale number actually measured?
+            out["stale_source"] = sweep["_meta"]
     except Exception as e:
         out["stale_reason"] += f"; no committed sweep number either ({e!r})"
     print(f"bench.py: falling back to last committed chip number — {reason}",
@@ -388,6 +403,14 @@ def main():
                         b / per / roofline_img_s(b, acc_mode), 4
                     )
                 print(key, sweep[key], flush=True)
+        # provenance for the stale-fallback path: how old the committed
+        # number is, and which code revision measured it
+        sweep["_meta"] = {
+            "measured_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime()),
+            "code_rev": _git_rev(),
+            "device": str(jax.devices()[0].platform),
+        }
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "bench_sweep.json")
         with open(out, "w") as f:
@@ -397,15 +420,7 @@ def main():
         # per-family training throughput (img/s only — FLOPs differ per model)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "bench_models.json")
-        try:
-            import subprocess
-            rev = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout.strip()
-        except Exception:
-            rev = ""
+        rev = _git_rev()
         if os.environ.get("BENCH_FRESH") and os.path.exists(out):
             os.remove(out)  # drop rows for renamed/removed models
         flops_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
