@@ -294,6 +294,56 @@ def make_v2(H, C, heads, shift, dtype, G=1):
     return fwd
 
 
+def _static_block_mask(H, shift, G):
+    """[nW/G, G·N, G·N] additive float32: −100 across windows of a merged
+    group and (for shifted blocks) across shift regions — the broadcast-add
+    counterpart of _static_augments."""
+    nW = (H // W) ** 2
+    win = np.repeat(np.arange(G), N)                        # [GN]
+    blocked = win[:, None] != win[None, :]                  # cross-window
+    blocked = np.broadcast_to(blocked, (nW // G, G * N, G * N)).copy()
+    if shift:
+        reg = _regions_per_window(H, shift).reshape(nW // G, G * N)
+        blocked |= reg[:, :, None] != reg[:, None, :]
+    return np.where(blocked, -100.0, 0.0).astype(np.float32)
+
+
+def make_v4(H, C, heads, shift, dtype, G):
+    """v1's fused partition + G-window merging, with bias/mask as ONE
+    precomputed broadcast-add (no augmented concat streams)."""
+    import jax
+    import jax.numpy as jnp
+
+    nWh = H // W
+    nW = nWh * nWh
+    hd = C // heads
+    scale = hd ** -0.5
+    assert nWh % G == 0
+    static_np = _static_block_mask(H, shift, G)             # [nW/G, GN, GN]
+
+    def fwd(params, x):
+        p = params
+        bias = _bias_nm(p, dtype)                           # [h, N, N]
+        combined = (jnp.tile(bias, (1, G, G))[None]
+                    + jnp.asarray(static_np, dtype)[:, None])
+        y = _ln(x, p["norm1"])
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        qkv = _dense(y, p["attn"]["qkv"])
+        q, k, v = _to_windows(qkv, G, nWh, heads, hd)       # [B,nW/G,h,GN,hd]
+        attn = jnp.einsum("bghnk,bghmk->bghnm", q * scale, k)
+        attn = jax.nn.softmax(attn + combined[None], axis=-1)
+        o = jnp.einsum("bghnm,bghmk->bghnk", attn, v)
+        o = _from_windows(o, G, nWh, heads, hd)
+        o = _dense(o, p["attn"]["proj"])
+        if shift:
+            o = jnp.roll(o, (shift, shift), axis=(1, 2))
+        x = x + o
+        return x + _mlp(p["mlp"], _ln(x, p["norm2"]))
+
+    return fwd
+
+
 def time_variant(fwd, params, x0, grad, label):
     import jax
     import jax.numpy as jnp
@@ -346,6 +396,8 @@ def main():
             if nWh % G == 0 and nWh >= G:
                 variants[f"v3_g{G}"] = make_v2(H, C, heads, shift, dtype,
                                                G=G)
+                variants[f"v4_g{G}"] = make_v4(H, C, heads, shift, dtype,
+                                               G=G)
 
         # golden: every rewrite equals the model block in f32
         xg = jnp.asarray(rng.normal(size=(2, H, H, C)) * 0.1, jnp.float32)
@@ -358,6 +410,9 @@ def main():
                 continue
             if name == "v1":
                 fn = make_v1(H, C, heads, shift, jnp.float32)
+            elif name.startswith("v4"):
+                fn = make_v4(H, C, heads, shift, jnp.float32,
+                             G=int(name.split("_g")[1]))
             else:
                 G = 1 if name == "v2" else int(name.split("_g")[1])
                 fn = make_v2(H, C, heads, shift, jnp.float32, G=G)
