@@ -73,8 +73,11 @@ def block_times(stage_idx: int, shift: bool, grad: bool):
     from imageclassification_tpu.models.swin import SwinBlock
 
     H, C, heads, _ = STAGES[stage_idx]
+    # pinned to the legacy per-window layout: this instrument documents the
+    # decomposition that motivated the merged layout (swin_layout_bench.json)
     blk = SwinBlock(dim=C, num_heads=heads, window=W,
-                    shift=W // 2 if shift else 0, dtype=jnp.bfloat16)
+                    shift=W // 2 if shift else 0, attn_layout="legacy",
+                    dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(B, H, H, C)), jnp.bfloat16)
     params = blk.init({"params": jax.random.key(0)}, x0[:1])["params"]

@@ -195,7 +195,7 @@ def make_v0(H, C, heads, shift, dtype):
     from imageclassification_tpu.models.swin import SwinBlock
 
     blk = SwinBlock(dim=C, num_heads=heads, window=W, shift=shift,
-                    dtype=dtype)
+                    attn_layout="legacy", dtype=dtype)
 
     def fwd(params, x):
         return blk.apply({"params": params}, x)

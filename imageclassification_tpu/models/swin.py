@@ -98,37 +98,85 @@ def _window_reverse(x, w, H, W):
     )
 
 
+@lru_cache(maxsize=None)
+def _merged_attn_mask(H: int, W: int, w: int, shift: int,
+                      G: int) -> np.ndarray:
+    """[nW/G, G·w², G·w²] additive float32 mask for G-window-merged
+    attention: −100 across the G windows of a merged group and (for
+    shifted blocks) across shift regions — exactly the values the
+    per-window path adds, extended with the cross-window blocking the
+    merge introduces. Groups are G horizontally-adjacent windows in
+    raster order (requires (W//w) % G == 0 so groups never span rows)."""
+    n = w * w
+    nW = (H // w) * (W // w)
+    win = np.repeat(np.arange(G), n)                       # [G·n]
+    blocked = win[:, None] != win[None, :]
+    blocked = np.broadcast_to(blocked, (nW // G, G * n, G * n)).copy()
+    if shift:
+        img = np.zeros((H, W), np.int32)
+        cnt = 0
+        for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+                img[hs, ws] = cnt
+                cnt += 1
+        reg = (img.reshape(H // w, w, W // w, w)
+               .transpose(0, 2, 1, 3).reshape(nW // G, G * n))
+        blocked |= reg[:, :, None] != reg[:, None, :]
+    return np.where(blocked, -100.0, 0.0).astype(np.float32)
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias; params mirror timm
-    (qkv: one Dense 3C w/ bias; proj: Dense C; bias table [(2w-1)², heads])."""
+    (qkv: one Dense 3C w/ bias; proj: Dense C; bias table [(2w-1)², heads]).
+
+    Two layouts over the SAME parameters (outputs bit-equal, locked by
+    tests/test_models.py::test_swin_merged_layout_equals_legacy):
+
+    - ``__call__`` — the per-window path: callers partition to
+      [B·nW, w², C] first (timm's dataflow).
+    - ``merged`` — the TPU layout (default via SwinBlock): qkv is
+      projected in NHWC *before* windowing so partition + head-split is
+      ONE transpose each way, and G horizontally-adjacent windows share
+      one attention matrix with −100 blocking across windows. Receipts
+      (benchmarks/swin_layout_bench.json, chip, B=128): 1.45–1.57×
+      per-block over the per-window path — the win is layout traffic
+      (trace: 31% of the legacy step was copy/reshape movement), not
+      FLOPs, which the merge *increases* while the MXU sits at 1–7%.
+    """
 
     dim: int
     num_heads: int
     window: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, mask=None):
-        B_, N, C = x.shape
-        h, hd = self.num_heads, self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype,
-                       kernel_init=truncated_normal_init(), name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                   # [B_, h, N, hd]
-        attn = jnp.einsum("bhnk,bhmk->bhnm", q * (hd ** -0.5), k)
-
-        table = self.param(
+    def setup(self):
+        self.qkv = nn.Dense(3 * self.dim, dtype=self.dtype,
+                            kernel_init=truncated_normal_init())
+        self.proj = nn.Dense(self.dim, dtype=self.dtype,
+                             kernel_init=truncated_normal_init())
+        self.relative_position_bias_table = self.param(
             "relative_position_bias_table",
             truncated_normal_init(),
             ((2 * self.window - 1) ** 2, self.num_heads),
         )
-        # one-hot matmul instead of table[idx] gather: same values, dense
-        # matmul backward instead of a serialized scatter-add (see
-        # _relative_position_onehot). [N², 169] @ [169, h] → [h, N, N].
-        onehot = jnp.asarray(_relative_position_onehot(self.window),
-                             attn.dtype)
-        bias = (onehot @ table.astype(attn.dtype)).reshape(N, N, h)
-        bias = bias.transpose(2, 0, 1)                     # [h, N, N] (tiny)
+
+    def _bias_hnm(self, dtype):
+        """[h, w², w²] bias via one-hot matmul instead of table[idx]
+        gather: same values, dense matmul backward instead of a
+        serialized scatter-add (see _relative_position_onehot)."""
+        n = self.window ** 2
+        onehot = jnp.asarray(_relative_position_onehot(self.window), dtype)
+        bias = onehot @ self.relative_position_bias_table.astype(dtype)
+        return bias.reshape(n, n, self.num_heads).transpose(2, 0, 1)
+
+    def __call__(self, x, mask=None):
+        B_, N, C = x.shape
+        h, hd = self.num_heads, self.dim // self.num_heads
+        qkv = self.qkv(x)
+        qkv = qkv.reshape(B_, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                   # [B_, h, N, hd]
+        attn = jnp.einsum("bhnk,bhmk->bhnm", q * (hd ** -0.5), k)
+        bias = self._bias_hnm(attn.dtype)                  # [h, N, N] (tiny)
 
         if mask is not None:                               # [nW, N, N] static
             # fold bias and mask into ONE broadcast add over the big attn
@@ -142,8 +190,37 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         y = jnp.einsum("bhnm,bhmk->bhnk", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(self.dim, dtype=self.dtype,
-                        kernel_init=truncated_normal_init(), name="proj")(y)
+        return self.proj(y)
+
+    def merged(self, y, shift: int, G: int):
+        """[B,H,W,C] → [B,H,W,C]: windowing folded into the qkv/out
+        transposes, G windows per attention group (see class doc)."""
+        B, H, W, C = y.shape
+        w = self.window
+        h, hd = self.num_heads, self.dim // self.num_heads
+        n = w * w
+        Hr, Wc = H // w, W // w
+        qkv = self.qkv(y)                                  # [B,H,W,3C]
+        # ONE copy: [B,H,W,3C] → [3, B, nW/G, h, G·n, hd]
+        qkv = qkv.reshape(B, Hr, w, Wc // G, G, w, 3, h, hd)
+        qkv = qkv.transpose(6, 0, 1, 3, 7, 4, 2, 5, 8).reshape(
+            3, B, Hr * Wc // G, h, G * n, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("bghnk,bghmk->bghnm", q * (hd ** -0.5), k)
+        bias = self._bias_hnm(attn.dtype)                  # [h, n, n]
+        if G > 1 or shift:
+            static = _merged_attn_mask(H, W, w, shift, G)  # [nW/G, Gn, Gn]
+            combined = (jnp.tile(bias, (1, G, G))[None]
+                        + jnp.asarray(static, attn.dtype)[:, None])
+            attn = attn + combined[None]                   # [B,nW/G,h,Gn,Gn]
+        else:
+            attn = attn + bias[None, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        o = jnp.einsum("bghnm,bghmk->bghnk", attn, v)
+        # ONE copy back: [B, nW/G, h, G·n, hd] → [B,H,W,C]
+        o = o.reshape(B, Hr, Wc // G, h, G, w, w, hd)
+        o = o.transpose(0, 1, 5, 2, 4, 6, 3, 7).reshape(B, H, W, C)
+        return self.proj(o)
 
 
 class SwinBlock(nn.Module):
@@ -154,6 +231,12 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_rate: float = 0.0
     drop_path: float = 0.0
+    # "merged" (default): the TPU window-attention layout — one fused
+    # partition+head-split transpose each way, 2 windows per attention
+    # group (benchmarks/swin_layout_bench.json: 1.45-1.57x per block).
+    # "legacy": the per-window timm dataflow (partition → attention →
+    # reverse). Outputs are equal; params identical.
+    attn_layout: str = "merged"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -171,14 +254,22 @@ class SwinBlock(nn.Module):
                 f"feature map {H}x{W} not divisible by window {w}"
             )
 
+        attn = WindowAttention(self.dim, self.num_heads, w,
+                               dtype=self.dtype, name="attn")
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        y = _window_partition(y, w)
-        mask = _shift_attn_mask(H, W, w, shift) if shift else None
-        y = WindowAttention(self.dim, self.num_heads, w,
-                            dtype=self.dtype, name="attn")(y, mask)
-        y = _window_reverse(y, w, H, W)
+        if self.attn_layout == "merged" and (H > w or W > w):
+            # merge 2 horizontally-adjacent windows per attention group
+            # when the window grid allows it (it always does for the
+            # check_input_size-validated classification sizes)
+            G = 2 if (W // w) % 2 == 0 else 1
+            y = attn.merged(y, shift, G)
+        else:
+            y = _window_partition(y, w)
+            mask = _shift_attn_mask(H, W, w, shift) if shift else None
+            y = attn(y, mask)
+            y = _window_reverse(y, w, H, W)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = x + DropPath(self.drop_path)(y, deterministic=not train)
@@ -247,6 +338,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.0
     features_only: bool = False       # multi-scale NHWC maps, strides 4-32
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    attn_layout: str = "merged"       # see SwinBlock.attn_layout
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -272,6 +364,7 @@ class SwinTransformer(nn.Module):
                     dim, self.num_heads[s], self.window,
                     shift=0 if b % 2 == 0 else self.window // 2,
                     drop_rate=self.drop_rate, drop_path=rates[s][b],
+                    attn_layout=self.attn_layout,
                     dtype=self.dtype, name=f"stage{s}_block{b}",
                 )(x, train=train)
             if self.features_only and s in self.out_indices:
@@ -293,12 +386,13 @@ class SwinTransformer(nn.Module):
 def _make(dim, depths, heads):
     def ctor(num_classes=1000, dtype=jnp.float32, drop_path_rate=0.0,
              drop_rate=0.0, features_only=False, out_indices=(0, 1, 2, 3),
-             **kw):
+             attn_layout="merged", **kw):
         return SwinTransformer(
             embed_dim=dim, depths=depths, num_heads=heads,
             num_classes=num_classes, drop_rate=drop_rate,
             drop_path_rate=drop_path_rate, features_only=features_only,
-            out_indices=tuple(out_indices), dtype=dtype,
+            out_indices=tuple(out_indices), attn_layout=attn_layout,
+            dtype=dtype,
         )
     return ctor
 

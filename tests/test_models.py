@@ -171,6 +171,45 @@ def test_swin_bad_input_size_raises():
         ))
 
 
+def test_swin_merged_layout_equals_legacy():
+    """The TPU merged window-attention layout (one fused partition+head
+    transpose each way, 2 windows per attention group — the SwinBlock
+    default, benchmarks/swin_layout_bench.json) computes the same function
+    as the per-window timm dataflow, on the same parameter tree. Covers
+    every case the layout branches on: shifted and unshifted blocks, G=2
+    and G=1 window grids, and (via the full model below) the one-window
+    clamp path."""
+    from imageclassification_tpu.models.swin import SwinBlock
+
+    rng = np.random.default_rng(7)
+    # (H, C, heads, shift): 28² C=96 exercises G=2; 21² (3-window grid,
+    # odd) exercises the merged path's G=1 fallback
+    for H, C, heads, shift in [(28, 96, 3, 0), (28, 96, 3, 3),
+                               (21, 64, 2, 3)]:
+        x = jnp.asarray(rng.normal(size=(2, H, H, C)) * 0.1, jnp.float32)
+        blocks = {
+            layout: SwinBlock(dim=C, num_heads=heads, window=7, shift=shift,
+                              attn_layout=layout)
+            for layout in ("merged", "legacy")
+        }
+        params = blocks["merged"].init({"params": jax.random.key(0)}, x)
+        outs = {layout: np.asarray(blk.apply(params, x))
+                for layout, blk in blocks.items()}
+        np.testing.assert_allclose(outs["merged"], outs["legacy"],
+                                   rtol=1e-5, atol=1e-5)
+
+    # full swin_tiny forward (all four stages incl. the clamped stage 3)
+    m_merged = create_model("swin_tiny", num_classes=5)
+    m_legacy = create_model("swin_tiny", num_classes=5, attn_layout="legacy")
+    x = jnp.asarray(rng.normal(size=(2, 224, 224, 3)), jnp.float32)
+    variables = m_merged.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False)
+    a = np.asarray(m_merged.apply(variables, x, train=False))
+    b = np.asarray(m_legacy.apply(variables, x, train=False))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_param_count_densenet():
     # torchvision exact counts
     for name, want in [("densenet121", 7_978_856),
