@@ -6,14 +6,19 @@ implementation of timm's `swin_{tiny,small,base}_patch4_window7_224`
 (microsoft/Swin-Transformer semantics) so timm hub state_dicts convert
 directly (checkpoint/torch_convert.convert_swin).
 
-TPU notes: window partition/reverse are pure reshapes+transposes that XLA
-folds into the surrounding matmuls' layouts; the per-window attention is a
-[B·nW, 49, C] batched matmul — small but MXU-tileable, and every window is
-independent so the batch dimension carries the parallelism. The shifted-
-window attention mask and the relative-position index are STATIC for a
-given (H, W, window, shift) — both are computed in numpy at trace time and
-enter the graph as constants (no dynamic shapes, no recompiles between
-steps). Windows clamp to the feature-map size on small inputs (timm does
+TPU notes: the round-5 chip trace showed window partition/reverse and the
+qkv head-split transposes are NOT free — 31% of the legacy step was
+copy/reshape layout movement, and the [.., 49, 49]/[.., 49, 32] window
+tensors pad their lane dim to 128 (2.6-4x traffic). The default layout is
+therefore `WindowAttention.merged`: qkv is projected in NHWC before
+windowing (partition + head-split = ONE transpose each way) and 2
+horizontally-adjacent windows share one attention matrix with -100
+blocking across windows — measured 1.45-1.57x per block
+(benchmarks/swin_layout_bench.json); the per-window timm dataflow is kept
+behind `attn_layout="legacy"`. The shifted-window attention mask and the
+relative-position index are STATIC for a given (H, W, window, shift) —
+computed in numpy at trace time and entering the graph as constants (no
+dynamic shapes, no recompiles between steps). Windows clamp to the feature-map size on small inputs (timm does
 the same). Input-size constraint: every stage's feature map must divide
 into whole windows (or fit inside one), and PatchMerging halves maps so
 they must be even when merged — for window 7 that means inputs of
