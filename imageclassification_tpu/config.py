@@ -123,6 +123,7 @@ class TrainConfig:
     half_precision: bool = True   # bf16 activations/compute (params stay fp32)
     remat: bool = False           # jax.checkpoint the forward (trade FLOPs for HBM)
     flash_attn: bool = False      # Pallas TPU flash attention for ViT (wins at ~1k+ tokens)
+    swin_attn_layout: str = "merged"  # Swin window-attention layout: merged (TPU, round 5) | legacy (timm dataflow)
     # 'exact' reproduces the reference's mixup-mode train accuracy (a second
     # no-grad forward on the un-mixed batch, engine.py:89-97 — measured at
     # ~24% of step time); 'mixed' reads accuracy off the mixed-batch logits

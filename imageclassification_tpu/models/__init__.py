@@ -86,4 +86,9 @@ def model_kwargs_for(args, num_classes: int) -> dict:
         # attention matrices dominate; at 224²/384² XLA's einsum is faster
         # end-to-end (benchmarks/attention_bench_n*.json), hence opt-in
         kw["flash_attn"] = True
+    elif args.model.startswith("swin"):
+        # "merged" (default) = the round-5 TPU window-attention layout;
+        # "legacy" = the per-window timm dataflow (same function/params —
+        # benchmarks/swin_layout_bench.json)
+        kw["attn_layout"] = getattr(args, "swin_attn_layout", "merged")
     return kw
